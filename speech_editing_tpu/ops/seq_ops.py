@@ -1,0 +1,106 @@
+"""Pure-JAX sequence/alignment ops shared by every acoustic model.
+
+TPU-native equivalents of the reference's torch helpers:
+
+* ``length_regulator`` — reference ``modules/commons/nar_tts_modules.py:37-72``
+  (token-mask matmul) re-derived as a rank-1 comparison against the duration
+  cumsum, with a *static* output length so everything stays jit-compatible.
+* ``expand_states`` / ``mel2token_to_dur`` — ``modules/tts/commons/align_ops.py``
+  and ``utils/audio/align.py:71-90`` as gathers/scatter-adds.
+* masking helpers from ``utils/nn/seq_utils.py``.
+
+All functions are shape-polymorphic over a leading batch dim and contain no
+data-dependent Python control flow.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sequence_mask(lengths: jax.Array, maxlen: int) -> jax.Array:
+    """[B] lengths -> [B, maxlen] bool mask (reference seq_utils.py:25)."""
+    return jnp.arange(maxlen)[None, :] < lengths[:, None]
+
+
+def make_positions(tokens: jax.Array, padding_idx: int = 0) -> jax.Array:
+    """Position ids starting at padding_idx+1, 0 at padding (seq_utils.py:6)."""
+    mask = (tokens != padding_idx).astype(jnp.int32)
+    return jnp.cumsum(mask, axis=1) * mask + padding_idx
+
+
+def weights_nonzero_speech(target: jax.Array) -> jax.Array:
+    """Weight 1 on frames whose mel row is not all-zero (seq_utils.py:33)."""
+    w = (jnp.abs(target).sum(-1, keepdims=True) != 0).astype(target.dtype)
+    return jnp.broadcast_to(w, target.shape)
+
+
+def length_regulator(dur: jax.Array, max_frames: int,
+                     dur_padding: jax.Array | None = None,
+                     alpha: float = 1.0) -> jax.Array:
+    """Expand per-token durations into a frame->token map ``mel2token``.
+
+    dur: [B, S] (float or int) — rounded to ints.
+    Returns [B, max_frames] int32; token ids are 1-based, 0 = beyond total
+    length. Token i occupies frames [cumsum_{i-1}, cumsum_i): for frame t the
+    number of cumsum entries <= t is exactly i-1, so ``mel2token = count + 1``.
+    This avoids the reference's [B, S, T] boolean mask materialization.
+    """
+    dur = jnp.round(dur.astype(jnp.float32) * alpha).astype(jnp.int32)
+    if dur_padding is not None:
+        dur = dur * (1 - dur_padding.astype(jnp.int32))
+    dur_cumsum = jnp.cumsum(dur, axis=1)  # [B, S]
+    total = dur_cumsum[:, -1:]  # [B, 1]
+    pos = jnp.arange(max_frames, dtype=jnp.int32)[None, :]  # [1, T]
+    # count of tokens fully emitted before frame t
+    count = (dur_cumsum[:, None, :] <= pos[:, :, None]).sum(-1)  # [B, T]
+    mel2token = (count + 1) * (pos < total)
+    return mel2token.astype(jnp.int32)
+
+
+def expand_states(h: jax.Array, mel2token: jax.Array) -> jax.Array:
+    """Gather token states to frame rate: [B, S, H], [B, T] -> [B, T, H].
+
+    Token id 0 (padding) maps to a zero row (align_ops.py:21-25).
+    """
+    h = jnp.pad(h, ((0, 0), (1, 0), (0, 0)))
+    return jnp.take_along_axis(h, mel2token[:, :, None], axis=1)
+
+
+def mel2token_to_dur(mel2token: jax.Array, T_txt: int,
+                     max_dur: int | None = None) -> jax.Array:
+    """Per-token durations from a frame->token map (scatter-add).
+
+    mel2token: [B, T] with 1-based ids -> dur [B, T_txt].
+    """
+    B = mel2token.shape[0]
+    dur = jnp.zeros((B, T_txt + 1), jnp.int32).at[
+        jnp.arange(B)[:, None], mel2token.astype(jnp.int32)
+    ].add(1, mode="drop")
+    dur = dur[:, 1:]
+    if max_dur is not None:
+        dur = jnp.minimum(dur, max_dur)
+    return dur
+
+
+def clip_mel2token_to_multiple(mel2token: jax.Array, frames_multiple: int) -> jax.Array:
+    max_frames = mel2token.shape[1] // frames_multiple * frames_multiple
+    return mel2token[:, :max_frames]
+
+
+def build_word_mask(x2word: jax.Array, y2word: jax.Array) -> jax.Array:
+    return (x2word[:, :, None] == y2word[:, None, :]).astype(jnp.int32)
+
+
+def mel2ph_to_mel2word(mel2ph: jax.Array, ph2word: jax.Array) -> jax.Array:
+    mel2word = jnp.take_along_axis(
+        ph2word - 1, jnp.clip(mel2ph - 1, 0, None), axis=1) + 1
+    return mel2word * (mel2ph > 0).astype(mel2word.dtype)
+
+
+def predictor_grad_scale(x: jax.Array, grad_scale: float) -> jax.Array:
+    """Scale gradients flowing into a predictor branch (fs.py predictor_grad)."""
+    if grad_scale == 1.0:
+        return x
+    return jax.lax.stop_gradient(x) + grad_scale * (x - jax.lax.stop_gradient(x))

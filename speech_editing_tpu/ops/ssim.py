@@ -1,0 +1,57 @@
+"""SSIM in JAX (gaussian 11x11 window), for the mel SSIM loss.
+
+Numerically mirrors the reference ``utils/metrics/ssim.py`` (window 11,
+sigma 1.5, C1=1e-4, C2=9e-4, SAME padding) but is expressed as two separable
+1-D depthwise convolutions, which XLA fuses far better on TPU than a dense
+11x11 conv2d.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(window_size) - window_size // 2
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _blur(img: jax.Array, window_size: int) -> jax.Array:
+    """Separable gaussian blur over the last two dims of [B, T, M]."""
+    w = jnp.asarray(_gaussian_window(window_size))
+    # conv along T then M via general dot: use lax.conv with feature-last
+    x = img[:, None, :, :]  # [B, 1, T, M]
+    kt = w[None, None, :, None]  # [1, 1, K, 1]
+    km = w[None, None, None, :]  # [1, 1, 1, K]
+    dn = jax.lax.conv_dimension_numbers(x.shape, kt.shape, ("NCHW", "OIHW", "NCHW"))
+    pad = window_size // 2
+    x = jax.lax.conv_general_dilated(x, kt, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, km, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn)
+    return x[:, 0]
+
+
+def ssim_map(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
+    """Per-pixel SSIM of two [B, T, M] images (values expected >= 0)."""
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
+    mu1 = _blur(img1, window_size)
+    mu2 = _blur(img2, window_size)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _blur(img1 * img1, window_size) - mu1_sq
+    sigma2_sq = _blur(img2 * img2, window_size) - mu2_sq
+    sigma12 = _blur(img1 * img2, window_size) - mu1_mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    return ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+
+
+def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
+         size_average: bool = True) -> jax.Array:
+    m = ssim_map(img1, img2, window_size)
+    return m.mean() if size_average else m
