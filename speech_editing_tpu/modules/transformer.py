@@ -1,0 +1,337 @@
+"""Transformer/FFT building blocks (flax.linen).
+
+Capability parity with the reference FastSpeech stack
+(``modules/commons/transformer.py``: SinusoidalPositionalEmbedding :14,
+TransformerFFNLayer :76, MultiheadAttention :138, EncSALayer :489,
+DecSALayer :532, FFTBlocks :653, FastSpeechEncoder :710) and the editing
+models' cross-attention decoder
+(``modules/speech_editing/commons/transformer.py:750-811``).
+
+TPU-first design notes:
+* everything stays ``[B, T, C]`` (no T-major transposes — the lane dim is C);
+* attention is one fused einsum pair per layer; padding enters as an additive
+  bias so XLA fuses it into the softmax;
+* no incremental-state machinery — all models here are non-autoregressive,
+  and the reference never uses the incremental path in the editing stack.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_editing_tpu.ops.seq_ops import make_positions
+
+DEFAULT_MAX_POSITIONS = 2000
+NEG_INF = -1e9
+
+
+def embed_init(dim: int):
+    return nn.initializers.normal(stddev=dim ** -0.5)
+
+
+class TokenEmbedding(nn.Module):
+    """Embedding with zeroed padding id (reference layers.py:45)."""
+
+    vocab_size: int
+    dim: int
+    padding_idx: int = 0
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array) -> jax.Array:
+        emb = nn.Embed(self.vocab_size, self.dim, embedding_init=embed_init(self.dim),
+                       name="embed")(tokens)
+        return emb * (tokens != self.padding_idx)[..., None]
+
+
+def sinusoidal_embedding_table(num_positions: int, dim: int,
+                               padding_idx: int | None = 0) -> np.ndarray:
+    """tensor2tensor layout: [sin(all) | cos(all)] concatenated (not interleaved)."""
+    half = dim // 2
+    freq = np.exp(np.arange(half, dtype=np.float64) * -(math.log(10000) / (half - 1)))
+    ang = np.arange(num_positions, dtype=np.float64)[:, None] * freq[None, :]
+    table = np.concatenate([np.sin(ang), np.cos(ang)], axis=1)
+    if dim % 2 == 1:
+        table = np.concatenate([table, np.zeros((num_positions, 1))], axis=1)
+    if padding_idx is not None:
+        table[padding_idx] = 0
+    return table.astype(np.float32)
+
+
+def sinusoidal_positional_embedding(tokens_or_positions: jax.Array, dim: int,
+                                    positions: jax.Array | None = None,
+                                    padding_idx: int = 0) -> jax.Array:
+    """Padding-aware sinusoidal pos-emb of a [B, T] id tensor."""
+    if positions is None:
+        positions = make_positions(tokens_or_positions, padding_idx)
+    max_pos = padding_idx + 1 + positions.shape[1]
+    table = jnp.asarray(sinusoidal_embedding_table(max_pos, dim, padding_idx))
+    return jax.lax.stop_gradient(table[positions])
+
+
+class MultiheadAttention(nn.Module):
+    """Softmax MHA with key-padding bias; optionally returns attn weights."""
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.0
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, query: jax.Array, key: jax.Array, value: jax.Array,
+                 key_padding_mask: Optional[jax.Array] = None,
+                 attn_mask: Optional[jax.Array] = None,
+                 train: bool = False,
+                 return_weights: bool = False):
+        h, d = self.num_heads, self.dim // self.num_heads
+        dense = lambda name: nn.DenseGeneral((h, d), use_bias=self.bias, name=name)
+        q = dense("q_proj")(query) * d ** -0.5  # [B, Tq, h, d]
+        k = dense("k_proj")(key)
+        v = dense("v_proj")(value)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        if key_padding_mask is not None:
+            logits = logits + jnp.where(key_padding_mask, NEG_INF, 0.0)[:, None, None, :]
+        if attn_mask is not None:
+            logits = logits + attn_mask
+        weights = jax.nn.softmax(logits, axis=-1)
+        if self.dropout > 0:
+            weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)
+        out = nn.DenseGeneral(self.dim, axis=(-2, -1), use_bias=self.bias,
+                              name="out_proj")(out)
+        if return_weights:
+            return out, weights
+        return out
+
+
+class ConvFFN(nn.Module):
+    """FFN with a kernel-size-k conv up-projection (reference FFNLayer :76).
+
+    ``padding='SAME'`` for encoders, ``'LEFT'`` (causal) for decoder layers.
+    Output of the conv is scaled by k^-0.5 as in the reference.
+    """
+
+    hidden_size: int
+    filter_size: int
+    kernel_size: int = 1
+    padding: str = "SAME"
+    dropout: float = 0.0
+    act: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.padding == "LEFT":
+            pad = [(self.kernel_size - 1, 0)]
+        else:
+            k = self.kernel_size
+            pad = [((k - 1) // 2, k // 2)] if k % 2 == 0 else [(k // 2, k // 2)]
+        x = nn.Conv(self.filter_size, (self.kernel_size,), padding=pad, name="ffn_1")(x)
+        x = x * self.kernel_size ** -0.5
+        x = jax.nn.gelu(x, approximate=False) if self.act == "gelu" else jax.nn.relu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.hidden_size, name="ffn_2")(x)
+
+
+class EncSALayer(nn.Module):
+    """Pre-LN self-attention + conv-FFN encoder layer (reference :489)."""
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    relu_dropout: float = 0.0
+    kernel_size: int = 9
+    act: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, padding_mask: jax.Array,
+                 attn_mask: Optional[jax.Array] = None, train: bool = False) -> jax.Array:
+        nonpad = (~padding_mask)[:, :, None].astype(x.dtype)
+        if self.num_heads > 0:
+            res = x
+            x = nn.LayerNorm(name="layer_norm1")(x)
+            x = MultiheadAttention(self.dim, self.num_heads,
+                                   dropout=self.attention_dropout,
+                                   name="self_attn")(
+                x, x, x, key_padding_mask=padding_mask, attn_mask=attn_mask,
+                train=train)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            x = (res + x) * nonpad
+        res = x
+        x = nn.LayerNorm(name="layer_norm2")(x)
+        x = ConvFFN(self.dim, 4 * self.dim, self.kernel_size, "SAME",
+                    self.relu_dropout, self.act, name="ffn")(x, train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return (res + x) * nonpad
+
+
+class DecSALayer(nn.Module):
+    """Self-attn + cross-attn + causal conv-FFN layer (reference :532)."""
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    relu_dropout: float = 0.0
+    kernel_size: int = 9
+    act: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x, encoder_out=None, encoder_padding_mask=None,
+                 self_attn_padding_mask=None, self_attn_mask=None,
+                 train: bool = False):
+        res = x
+        h = nn.LayerNorm(name="layer_norm1")(x)
+        h = MultiheadAttention(self.dim, self.num_heads,
+                               dropout=self.attention_dropout, name="self_attn")(
+            h, h, h, key_padding_mask=self_attn_padding_mask,
+            attn_mask=self_attn_mask, train=train)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        x = res + h
+
+        attn_weights = None
+        if encoder_out is not None:
+            res = x
+            h = nn.LayerNorm(name="layer_norm2")(x)
+            h, attn_weights = MultiheadAttention(
+                self.dim, self.num_heads, dropout=self.attention_dropout,
+                name="encoder_attn")(
+                h, encoder_out, encoder_out,
+                key_padding_mask=encoder_padding_mask, train=train,
+                return_weights=True)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            x = res + h
+
+        res = x
+        h = nn.LayerNorm(name="layer_norm3")(x)
+        h = ConvFFN(self.dim, 4 * self.dim, self.kernel_size, "LEFT",
+                    self.relu_dropout, self.act, name="ffn")(h, train)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return res + h, attn_weights
+
+
+class FFTBlocks(nn.Module):
+    """Stack of EncSALayers with optional learned-alpha pos-emb (ref :653)."""
+
+    hidden_size: int
+    num_layers: int
+    ffn_kernel_size: int = 9
+    dropout: float = 0.0
+    num_heads: int = 2
+    use_pos_embed: bool = True
+    use_last_norm: bool = True
+    use_pos_embed_alpha: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, padding_mask: Optional[jax.Array] = None,
+                 attn_mask: Optional[jax.Array] = None, train: bool = False) -> jax.Array:
+        if padding_mask is None:
+            padding_mask = jnp.abs(x).sum(-1) == 0
+        nonpad = (~padding_mask)[:, :, None].astype(x.dtype)
+        if self.use_pos_embed:
+            alpha = (self.param("pos_embed_alpha", nn.initializers.ones, (1,))
+                     if self.use_pos_embed_alpha else 1.0)
+            pos_ids = (~padding_mask).astype(jnp.int32)
+            positions = sinusoidal_positional_embedding(pos_ids, self.hidden_size)
+            x = x + alpha * positions
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = x * nonpad
+        for i in range(self.num_layers):
+            x = EncSALayer(self.hidden_size, self.num_heads, dropout=self.dropout,
+                           attention_dropout=0.0, relu_dropout=self.dropout,
+                           kernel_size=self.ffn_kernel_size,
+                           name=f"layers_{i}")(x, padding_mask, attn_mask, train) * nonpad
+        if self.use_last_norm:
+            x = nn.LayerNorm(name="layer_norm")(x) * nonpad
+        return x
+
+
+class FastSpeechEncoder(nn.Module):
+    """Token embedding (scaled) + pos-emb + FFT blocks (reference :710-743)."""
+
+    vocab_size: int
+    hidden_size: int = 256
+    num_layers: int = 4
+    kernel_size: int = 9
+    num_heads: int = 2
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, txt_tokens: jax.Array, attn_mask=None, train: bool = False) -> jax.Array:
+        padding_mask = txt_tokens == 0
+        x = math.sqrt(self.hidden_size) * TokenEmbedding(
+            self.vocab_size, self.hidden_size, name="embed_tokens")(txt_tokens)
+        x = x + sinusoidal_positional_embedding(txt_tokens, self.hidden_size)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if self.num_layers > 0:
+            x = FFTBlocks(self.hidden_size, self.num_layers, self.kernel_size,
+                          self.dropout, self.num_heads, use_pos_embed=False,
+                          name="fft")(x, padding_mask, attn_mask, train)
+        return x
+
+
+class FastSpeechDecoder(nn.Module):
+    hidden_size: int = 256
+    num_layers: int = 4
+    kernel_size: int = 9
+    num_heads: int = 2
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, padding_mask=None, train: bool = False) -> jax.Array:
+        return FFTBlocks(self.hidden_size, self.num_layers, self.kernel_size,
+                         self.dropout, self.num_heads, name="fft")(
+            x, padding_mask, train=train)
+
+
+class TransformerEncoder(nn.Module):
+    """Token-input transformer encoder used by CampNet
+    (speech_editing/commons/transformer.py:713-748)."""
+
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    ffn_kernel_size: int = 9
+    num_heads: int = 2
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, txt_tokens: jax.Array, train: bool = False) -> jax.Array:
+        return FastSpeechEncoder(self.vocab_size, self.hidden_size, self.num_layers,
+                                 self.ffn_kernel_size, self.num_heads, self.dropout,
+                                 name="enc")(txt_tokens, train=train)
+
+
+class TransformerDecoder(nn.Module):
+    """Cross-attending decoder returning layer-averaged enc-dec attention
+    (speech_editing/commons/transformer.py:750-811)."""
+
+    hidden_size: int
+    num_layers: int
+    ffn_kernel_size: int = 9
+    num_heads: int = 2
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, encoder_out: jax.Array,
+                 encoder_padding_mask: Optional[jax.Array] = None,
+                 self_attn_padding_mask: Optional[jax.Array] = None,
+                 train: bool = False):
+        attns = []
+        for i in range(self.num_layers):
+            x, attn = DecSALayer(self.hidden_size, self.num_heads,
+                                 dropout=self.dropout,
+                                 kernel_size=self.ffn_kernel_size,
+                                 name=f"layers_{i}")(
+                x, encoder_out, encoder_padding_mask,
+                self_attn_padding_mask, train=train)
+            attns.append(attn.mean(axis=1))  # mean over heads -> [B, Tq, Tk]
+        x = nn.LayerNorm(name="layer_norm")(x)
+        attn_avg = jnp.stack(attns).mean(axis=0)
+        return x, attn_avg

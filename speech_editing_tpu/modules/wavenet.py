@@ -1,0 +1,140 @@
+"""WaveNet-style gated conv stacks (flax.linen).
+
+Two variants, both feature-last [B, T, C]:
+
+* :class:`WN` — the Glow-TTS conditioning stack (reference
+  ``modules/commons/wavenet.py:14-97``): gated tanh/sigmoid convs with a
+  shared 1x1 cond layer, residual + skip accumulation. Weight norm is a
+  torch optimization-time reparam; we train plain convs and fold
+  ``weight_g/weight_v`` when converting torch checkpoints.
+* :class:`DiffNetResidualBlock`/:class:`DiffNet` — the FluentSpeech diffusion
+  denoiser (reference ``modules/speech_editing/spec_denoiser/diffnet.py``):
+  20 gated residual blocks conditioned on (text-states, diffusion-step-emb),
+  skip-sum output head with zero-init final projection.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def gated_activation(x: jax.Array) -> jax.Array:
+    """Split channels into (gate, filter) halves: sigmoid(g) * tanh(f).
+
+    NOTE channel order differs between the two reference stacks: WN uses
+    tanh(first)·sigmoid(second); DiffNet uses sigmoid(first)·tanh(second).
+    This helper implements the DiffNet order; WN inlines its own.
+    """
+    gate, filt = jnp.split(x, 2, axis=-1)
+    return jax.nn.sigmoid(gate) * jnp.tanh(filt)
+
+
+class WN(nn.Module):
+    hidden_size: int
+    kernel_size: int = 5
+    dilation_rate: int = 1
+    n_layers: int = 4
+    c_cond: int = 0
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, nonpadding: Optional[jax.Array] = None,
+                 cond: Optional[jax.Array] = None, train: bool = False) -> jax.Array:
+        """x: [B, T, H] -> [B, T, H] (skip-sum output)."""
+        if nonpadding is None:
+            nonpadding = jnp.ones_like(x[..., :1])
+        h = self.hidden_size
+        if cond is not None:
+            cond_all = nn.Conv(2 * h * self.n_layers, (1,), name="cond_layer")(cond)
+        output = jnp.zeros_like(x)
+        for i in range(self.n_layers):
+            dilation = self.dilation_rate ** i
+            x_in = nn.Conv(2 * h, (self.kernel_size,), kernel_dilation=(dilation,),
+                           padding="SAME", name=f"in_{i}")(x)
+            x_in = nn.Dropout(self.dropout, deterministic=not train)(x_in)
+            if cond is not None:
+                x_in = x_in + cond_all[..., i * 2 * h:(i + 1) * 2 * h]
+            t_act = jnp.tanh(x_in[..., :h])
+            s_act = jax.nn.sigmoid(x_in[..., h:])
+            acts = t_act * s_act
+            if i < self.n_layers - 1:
+                rs = nn.Conv(2 * h, (1,), name=f"res_skip_{i}")(acts)
+                x = (x + rs[..., :h]) * nonpadding
+                output = output + rs[..., h:]
+            else:
+                output = output + nn.Conv(h, (1,), name=f"res_skip_{i}")(acts)
+        return output * nonpadding
+
+
+def diffusion_step_embedding(t: jax.Array, dim: int) -> jax.Array:
+    """[B] int steps -> [B, dim] sinusoidal embedding (diffnet.py:33-46)."""
+    half = dim // 2
+    freq = jnp.exp(jnp.arange(half) * -(math.log(10000) / (half - 1)))
+    ang = t.astype(jnp.float32)[:, None] * freq[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class DiffNetResidualBlock(nn.Module):
+    residual_channels: int
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cond: jax.Array, step_emb: jax.Array):
+        """x: [B, T, C]; cond: [B, T, H]; step_emb: [B, C] -> (x', skip)."""
+        c = self.residual_channels
+        step = nn.Dense(c, name="diffusion_projection")(step_emb)[:, None, :]
+        y = x + step
+        y = nn.Conv(2 * c, (3,), kernel_dilation=(self.dilation,), padding="SAME",
+                    kernel_init=nn.initializers.kaiming_normal(),
+                    name="dilated_conv")(y)
+        y = y + nn.Conv(2 * c, (1,),
+                        kernel_init=nn.initializers.kaiming_normal(),
+                        name="conditioner_projection")(cond)
+        y = gated_activation(y)
+        y = nn.Conv(2 * c, (1,),
+                    kernel_init=nn.initializers.kaiming_normal(),
+                    name="output_projection")(y)
+        residual, skip = jnp.split(y, 2, axis=-1)
+        return (x + residual) / math.sqrt(2.0), skip
+
+
+class DiffNet(nn.Module):
+    """x0-predicting WaveNet denoiser. All tensors feature-last:
+    spec [B, T, M] -> [B, T, M] (the reference's [B, 1, M, T] layout is a
+    CUDA-era convention; lane-major M is the TPU-native choice)."""
+
+    in_dims: int = 80
+    encoder_hidden: int = 192
+    residual_layers: int = 20
+    residual_channels: int = 256
+    dilation_cycle_length: int = 1
+
+    @nn.compact
+    def __call__(self, spec: jax.Array, diffusion_step: jax.Array,
+                 cond: jax.Array) -> jax.Array:
+        c = self.residual_channels
+        x = nn.Conv(c, (1,), kernel_init=nn.initializers.kaiming_normal(),
+                    name="input_projection")(spec)
+        x = jax.nn.relu(x)
+        step = diffusion_step_embedding(diffusion_step, c)
+        step = nn.Dense(c * 4, name="mlp_1")(step)
+        step = step * jnp.tanh(jax.nn.softplus(step))  # Mish
+        step = nn.Dense(c, name="mlp_2")(step)
+        skip_sum = jnp.zeros_like(x)
+        for i in range(self.residual_layers):
+            x, skip = DiffNetResidualBlock(
+                c, 2 ** (i % self.dilation_cycle_length),
+                name=f"residual_{i}")(x, cond, step)
+            skip_sum = skip_sum + skip
+        x = skip_sum / math.sqrt(self.residual_layers)
+        x = nn.Conv(c, (1,), kernel_init=nn.initializers.kaiming_normal(),
+                    name="skip_projection")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(self.in_dims, (1,), kernel_init=nn.initializers.zeros,
+                    name="output_projection")(x)
+        return x

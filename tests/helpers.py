@@ -1,0 +1,108 @@
+"""Shared test fixtures: tiny hparams and synthetic batches."""
+
+import numpy as np
+
+TINY_HP = {
+    # sizes
+    "hidden_size": 32,
+    "audio_num_mel_bins": 80,
+    "audio_sample_rate": 22050,
+    "hop_size": 256,
+    "fft_size": 1024,
+    "win_size": 1024,
+    "fmin": 55,
+    "fmax": 7600,
+    # encoder/decoder
+    "encoder_type": "conv",
+    "decoder_type": "conv",
+    "enc_layers": 2,
+    "dec_layers": 2,
+    "enc_ffn_kernel_size": 5,
+    "dec_ffn_kernel_size": 9,
+    "enc_dilations": [1, 1],
+    "dec_dilations": [1, 1],
+    "enc_kernel_size": 5,
+    "dec_kernel_size": 5,
+    "enc_post_net_kernel": 3,
+    "dec_post_net_kernel": 3,
+    "layers_in_block": 2,
+    "enc_dec_norm": "ln",
+    "num_heads": 2,
+    "dropout": 0.0,
+    # predictors
+    "predictor_hidden": -1,
+    "dur_predictor_layers": 2,
+    "dur_predictor_kernel": 3,
+    "predictor_kernel": 5,
+    "predictor_dropout": 0.0,
+    "predictor_grad": 0.1,
+    "use_pitch_embed": True,
+    "use_spk_embed": True,
+    "use_spk_id": False,
+    "use_uv": True,
+    "pitch_type": "frame",
+    "frames_multiple": 1,
+    # diffusion
+    "timesteps": 4,
+    "timescale": 1,
+    "schedule_type": "vpsde",
+    "residual_layers": 2,
+    "residual_channels": 16,
+    "dilation_cycle_length": 1,
+    "diff_loss_type": "l1",
+    "keep_bins": 80,
+    # losses
+    "mel_losses": "l1:0.5|ssim:0.5",
+    "lambda_ph_dur": 0.1,
+    "lambda_word_dur": 1.0,
+    "lambda_sent_dur": 0.0,
+    "lambda_f0": 1.0,
+    "lambda_uv": 1.0,
+    "dur_level": "word" ,
+    # training
+    "lr": 2e-4,
+    "optimizer_adam_beta1": 0.9,
+    "optimizer_adam_beta2": 0.98,
+    "weight_decay": 0,
+    "warmup_updates": 10,
+    "scheduler": "warmup",
+    "clip_grad_norm": 1.0,
+    "accumulate_grad_batches": 1,
+    "max_frames": 96,
+    "max_input_tokens": 20,
+}
+
+VOCAB = 12
+
+
+def synth_batch(rng, B=2, S=8, T=64, n_mels=80):
+    txt_tokens = np.zeros((B, S), np.int32)
+    mel2ph = np.zeros((B, T), np.int32)
+    f0 = np.zeros((B, T), np.float32)
+    uv = np.zeros((B, T), np.float32)
+    mels = np.zeros((B, T, n_mels), np.float32)
+    masks = np.zeros((B, T, 1), np.float32)
+    lens = []
+    for b in range(B):
+        s = S - b  # varying token count
+        txt_tokens[b, :s] = rng.randint(3, VOCAB, s)
+        # random monotonic alignment covering t frames
+        t_len = T - 8 * b
+        bounds = np.sort(rng.choice(np.arange(1, t_len), s - 1, replace=False))
+        bounds = np.concatenate([[0], bounds, [t_len]])
+        for i in range(s):
+            mel2ph[b, bounds[i]:bounds[i + 1]] = i + 1
+        f0[b, :t_len] = rng.uniform(5.5, 8.0, t_len)  # log2 domain
+        uv[b, :t_len] = (rng.rand(t_len) < 0.2).astype(np.float32)
+        f0[b, :t_len] *= (1 - uv[b, :t_len])
+        mels[b, :t_len] = rng.randn(t_len, n_mels) * 0.5 - 2
+        m0 = t_len // 4
+        masks[b, m0: m0 + t_len // 3, 0] = 1.0
+        lens.append(t_len)
+    spk_embed = rng.randn(B, 256).astype(np.float32)
+    return {
+        "txt_tokens": txt_tokens, "mel2ph": mel2ph, "f0": f0, "uv": uv,
+        "mels": mels, "time_mel_masks": masks, "spk_embed": spk_embed,
+        "mel_lengths": np.array(lens, np.int32),
+        "txt_lengths": (txt_tokens != 0).sum(1).astype(np.int32),
+    }
