@@ -1,0 +1,257 @@
+"""HiFi-GAN vocoder (flax.linen), TPU-first.
+
+Capability parity with the reference implementation
+(``modules/vocoder/hifigan/hifigan.py``): generator (conv_pre ->
+ConvTranspose upsampling stack with multi-receptive-field fusion ->
+conv_post -> tanh, :101-151), MultiPeriodDiscriminator (:199-223),
+MultiScaleDiscriminator (:262-298), and the LSGAN / feature-matching loss
+functions (:301-338).
+
+TPU-first design differences:
+
+* tensors are feature-last ``[B, T, C]`` end to end (XLA's native 1-D conv
+  layout; the reference's NCL transposes disappear);
+* no weight normalisation — weight norm is a reparameterisation trick whose
+  weights fold into a plain conv at inference (torch ``weight_g``/``weight_v``
+  checkpoints are folded by the converter); plain convs keep every op a single
+  fused XLA convolution on the MXU;
+* the MRF sum and the per-stage upsample+resblock chain stay as a static
+  Python loop — XLA sees one flat conv graph and fuses the LeakyReLUs in;
+* the torch ``ConvTranspose1d(k, stride=u, padding=(k-u)//2)`` geometry
+  equals ``lax.conv_transpose`` with SAME padding when ``k - u`` is even
+  (always the case for the standard (16,16,4,4)/(8,8,2,2) configs), so
+  upsampled lengths are exactly ``T * prod(upsample_rates)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LRELU_SLOPE = 0.1
+
+
+def _lrelu(x):
+    return nn.leaky_relu(x, LRELU_SLOPE)
+
+
+_conv_init = nn.initializers.normal(stddev=0.01)
+
+
+class ResBlock1(nn.Module):
+    """Two-conv residual unit repeated per dilation (reference :27-64)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Tuple[int, ...] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x):
+        for d in self.dilations:
+            xt = _lrelu(x)
+            xt = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=(d,),
+                         padding="SAME", kernel_init=_conv_init)(xt)
+            xt = _lrelu(xt)
+            xt = nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
+                         kernel_init=_conv_init)(xt)
+            x = x + xt
+        return x
+
+
+class ResBlock2(nn.Module):
+    """Single-conv residual unit (reference :67-88)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Tuple[int, ...] = (1, 3)
+
+    @nn.compact
+    def __call__(self, x):
+        for d in self.dilations:
+            xt = _lrelu(x)
+            xt = nn.Conv(self.channels, (self.kernel_size,), kernel_dilation=(d,),
+                         padding="SAME", kernel_init=_conv_init)(xt)
+            x = x + xt
+        return x
+
+
+class HifiGanGenerator(nn.Module):
+    """mel [B, T, 80] -> wav [B, T * prod(upsample_rates)].
+
+    hp keys (same names as the reference config): ``upsample_rates``,
+    ``upsample_kernel_sizes``, ``upsample_initial_channel``, ``resblock``,
+    ``resblock_kernel_sizes``, ``resblock_dilation_sizes``.
+    """
+
+    hp: Any
+    c_out: int = 1
+
+    @nn.compact
+    def __call__(self, mel):
+        hp = self.hp
+        up_rates: Sequence[int] = hp["upsample_rates"]
+        up_kernels: Sequence[int] = hp["upsample_kernel_sizes"]
+        c0: int = hp["upsample_initial_channel"]
+        res_cls = ResBlock1 if str(hp.get("resblock", "1")) == "1" else ResBlock2
+        res_ks: Sequence[int] = hp["resblock_kernel_sizes"]
+        res_ds: Sequence[Sequence[int]] = hp["resblock_dilation_sizes"]
+
+        x = nn.Conv(c0, (7,), padding="SAME", name="conv_pre")(mel)
+        for i, (u, k) in enumerate(zip(up_rates, up_kernels)):
+            ch = c0 // (2 ** (i + 1))
+            x = _lrelu(x)
+            x = nn.ConvTranspose(ch, (k,), strides=(u,), padding="SAME",
+                                 kernel_init=_conv_init, name=f"up_{i}")(x)
+            acc = None
+            for j, (rk, rd) in enumerate(zip(res_ks, res_ds)):
+                y = res_cls(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")(x)
+                acc = y if acc is None else acc + y
+            x = acc / len(res_ks)
+        x = _lrelu(x)
+        x = nn.Conv(self.c_out, (7,), padding="SAME", kernel_init=_conv_init,
+                    name="conv_post")(x)
+        x = jnp.tanh(x)
+        return x[..., 0] if self.c_out == 1 else x
+
+
+# ---------------------------------------------------------------------------
+# Discriminators
+# ---------------------------------------------------------------------------
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator: fold wav into [T/p, p] and run 2-D convs
+    (reference :154-197)."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, N] -> [B, T/p, p, 1]
+        b, t = x.shape
+        if t % self.period != 0:
+            n_pad = self.period - (t % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
+            t = t + n_pad
+        x = x.reshape(b, t // self.period, self.period, 1)
+        fmap = []
+        pad = (self.kernel_size - 1) // 2
+        for ch in (32, 128, 512, 1024):
+            x = nn.Conv(ch, (self.kernel_size, 1), strides=(self.stride, 1),
+                        padding=((pad, pad), (0, 0)))(x)
+            x = _lrelu(x)
+            fmap.append(x)
+        x = nn.Conv(1024, (self.kernel_size, 1), padding=((2, 2), (0, 0)))(x)
+        x = _lrelu(x)
+        fmap.append(x)
+        x = nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)))(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class DiscriminatorS(nn.Module):
+    """Scale discriminator: strided grouped 1-D convs (reference :227-259)."""
+
+    use_spectral_norm: bool = False  # kept for config parity; plain convs
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, N] -> [B, N, 1]
+        b = x.shape[0]
+        x = x[..., None]
+        fmap = []
+        specs = [  # (channels, kernel, stride, groups, pad)
+            (128, 15, 1, 1, 7),
+            (128, 41, 2, 4, 20),
+            (256, 41, 2, 16, 20),
+            (512, 41, 4, 16, 20),
+            (1024, 41, 4, 16, 20),
+            (1024, 41, 1, 16, 20),
+            (1024, 5, 1, 1, 2),
+        ]
+        for ch, k, s, g, p in specs:
+            x = nn.Conv(ch, (k,), strides=(s,), feature_group_count=g,
+                        padding=((p, p),))(x)
+            x = _lrelu(x)
+            fmap.append(x)
+        x = nn.Conv(1, (3,), padding=((1, 1),))(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        outs_r, outs_g, fmaps_r, fmaps_g = [], [], [], []
+        for p in self.periods:
+            d = DiscriminatorP(p, name=f"disc_p{p}")
+            o_r, f_r = d(y)
+            o_g, f_g = d(y_hat)
+            outs_r.append(o_r)
+            outs_g.append(o_g)
+            fmaps_r.append(f_r)
+            fmaps_g.append(f_g)
+        return outs_r, outs_g, fmaps_r, fmaps_g
+
+
+def _avg_pool_1d(x, window=4, stride=2, pad=1):
+    """torch AvgPool1d(4, 2, padding=1) over [B, N] (count includes pads)."""
+    x = x[..., None]
+    out = nn.avg_pool(x, (window,), strides=(stride,), padding=((pad, pad),),
+                      count_include_pad=True)
+    return out[..., 0]
+
+
+class MultiScaleDiscriminator(nn.Module):
+    num_scales: int = 3
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        outs_r, outs_g, fmaps_r, fmaps_g = [], [], [], []
+        for i in range(self.num_scales):
+            if i != 0:
+                y = _avg_pool_1d(y)
+                y_hat = _avg_pool_1d(y_hat)
+            d = DiscriminatorS(use_spectral_norm=(i == 0), name=f"disc_s{i}")
+            o_r, f_r = d(y)
+            o_g, f_g = d(y_hat)
+            outs_r.append(o_r)
+            outs_g.append(o_g)
+            fmaps_r.append(f_r)
+            fmaps_g.append(f_g)
+        return outs_r, outs_g, fmaps_r, fmaps_g
+
+
+# ---------------------------------------------------------------------------
+# GAN losses (reference :301-338) — pure functions over output lists
+# ---------------------------------------------------------------------------
+
+def feature_loss(fmap_r, fmap_g):
+    loss = 0.0
+    for dr, dg in zip(fmap_r, fmap_g):
+        for rl, gl in zip(dr, dg):
+            loss += jnp.mean(jnp.abs(jax.lax.stop_gradient(rl) - gl))
+    return loss * 2.0
+
+
+def discriminator_loss(disc_real_outputs, disc_generated_outputs):
+    r_losses, g_losses = 0.0, 0.0
+    for dr, dg in zip(disc_real_outputs, disc_generated_outputs):
+        r_losses += jnp.mean((1.0 - dr) ** 2)
+        g_losses += jnp.mean(dg ** 2)
+    n = len(disc_real_outputs)
+    return r_losses / n, g_losses / n
+
+
+def generator_loss(disc_outputs):
+    loss = 0.0
+    for dg in disc_outputs:
+        loss += jnp.mean((1.0 - dg) ** 2)
+    return loss / len(disc_outputs)
