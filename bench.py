@@ -1,0 +1,100 @@
+"""End-to-end edit benchmark: mel extract -> masked diffusion -> HiFi-GAN.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric = real-time factor (RTF) of a full region edit of one ~5.9 s
+utterance on one chip: on-device mel extraction (ops.mel), FluentSpeech
+spec_denoiser reverse diffusion (T=8, flagship egs/spec_denoiser.yaml
+sizes), composite, HiFi-GAN V1 vocode. The reference publishes no numbers
+(BASELINE.md); the driver-set north star is RTF < 0.1 on one v5e chip, so
+vs_baseline = 0.1 / measured (higher is better, >1 beats the target).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from speech_editing_tpu.models.vocoder import HifiGanGenerator
+    from speech_editing_tpu.ops.mel import MelConfig, mel_spectrogram
+    from speech_editing_tpu.training.tasks.spec_denoiser import build_model
+    from __graft_entry__ import _flagship_hp
+
+    sr, hop = 22050, 256
+    T = 512  # mel frames per utterance -> 512*256/22050 ~= 5.94 s audio
+    n_wav = T * hop
+    dur_s = n_wav / sr
+
+    rs = np.random.RandomState(0)
+    t_ax = np.arange(n_wav) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 180 * t_ax)
+           * (1 + 0.3 * np.sin(2 * np.pi * 3 * t_ax))).astype(np.float32)
+    wav_j = jnp.asarray(wav[None])
+
+    cfg = MelConfig()
+    hp = _flagship_hp()
+    vocab = 80
+    s_txt = 48
+    model = build_model(vocab, hp)
+
+    txt = jnp.asarray(rs.randint(1, vocab, (1, s_txt)), jnp.int32)
+    mel2ph = jnp.asarray(
+        np.clip(np.sort(rs.randint(1, s_txt + 1, (1, T))), 1, s_txt), jnp.int32)
+    mask = np.zeros((1, T, 1), np.float32)
+    mask[:, T // 3: 2 * T // 3] = 1.0
+    mask = jnp.asarray(mask)
+    f0 = jnp.asarray(rs.rand(1, T), jnp.float32)
+    uv = jnp.zeros((1, T), jnp.float32)
+
+    vhp = {"upsample_rates": [8, 8, 2, 2],
+           "upsample_kernel_sizes": [16, 16, 4, 4],
+           "upsample_initial_channel": 512, "resblock": "1",
+           "resblock_kernel_sizes": [3, 7, 11],
+           "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5], [1, 3, 5]]}
+    voc = HifiGanGenerator(hp=vhp)
+
+    mel0 = mel_spectrogram(wav_j, cfg)[:, :T]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        txt, mask, mel2ph, None, mel0, f0, uv)
+    vparams = voc.init(jax.random.PRNGKey(2), mel0)
+
+    @jax.jit
+    def edit(params, vps, wav_in, rng):
+        mel = mel_spectrogram(wav_in, cfg)[:, :T]
+        out = model.apply(params, txt, mask, mel2ph, None, mel, f0, uv,
+                          infer=True, rng=rng)
+        comp = out["mel_out"] * mask + mel * (1 - mask)
+        return voc.apply(vps, comp)
+
+    rng = jax.random.PRNGKey(3)
+    # warmup / compile
+    edit(variables, vparams, wav_j, rng).block_until_ready()
+    edit(variables, vparams, wav_j, rng).block_until_ready()
+
+    times = []
+    for i in range(10):
+        rng, sub = jax.random.split(rng)
+        t0 = time.perf_counter()
+        edit(variables, vparams, wav_j, sub).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    rtf = med / dur_s
+    target = 0.1
+    print(json.dumps({
+        "metric": "edit_rtf_e2e",
+        "value": round(rtf, 5),
+        "unit": "rtf (utterance wall-time / audio duration, 1 chip)",
+        "vs_baseline": round(target / rtf, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's NCCL data-parallel stack
+(``utils/commons/ddp_utils.py``, ``trainer.py:474-495``): instead of a DDP
+wrapper class and rank-strided batch slicing, we build a
+``jax.sharding.Mesh`` over all devices and give the train step
+``NamedSharding`` constraints — XLA inserts the gradient ``psum`` on ICI
+automatically when the loss is computed from a batch-sharded input with
+replicated params.
+
+The default topology is a 1-D ``data`` axis (the only parallelism the
+reference has); helpers accept an arbitrary axis dict so models can later
+add tensor axes without touching call sites.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axes: Optional[dict[str, int]] = None) -> Mesh:
+    """Build a mesh; default 1-D over all (or the first n) devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    if axes is None:
+        axes = {DATA_AXIS: len(devs)}
+    names = tuple(axes)
+    shape = tuple(axes.values())
+    assert int(np.prod(shape)) == len(devs), (shape, len(devs))
+    return Mesh(np.asarray(devs).reshape(shape), names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
+    """Device-put every array leaf batch-sharded over the mesh.
+
+    Host-side replacement for the reference's ``batches[rank::world]``
+    slicing (``tasks/tts/speech_base.py:128-131``): each leaf's leading dim
+    is split across the data axis. Leaves whose leading dim does not divide
+    are replicated.
+    """
+    n = int(np.prod([mesh.shape[a] for a in (axis if isinstance(axis, tuple) else (axis,))]))
+    bsh = batch_sharding(mesh, axis)
+    rep = replicated(mesh)
+
+    def put(x):
+        x = np.asarray(x) if not isinstance(x, jax.Array) else x
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, bsh)
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(put, batch)
+
+
+def pad_batch_to_multiple(batch: Any, multiple: int) -> Any:
+    """Pad the leading dim of every leaf up to a multiple (padding items are
+    all-zero, which every loss masks out via nonpadding weights)."""
+    def pad(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return x
+        b = x.shape[0]
+        rem = (-b) % multiple
+        if rem == 0:
+            return x
+        pad_width = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, pad_width)
+    return jax.tree.map(pad, batch)

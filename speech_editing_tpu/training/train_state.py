@@ -1,0 +1,81 @@
+"""TrainState pytree + sharded jitted train-step factory.
+
+TPU-native replacement for the reference Trainer's hot loop
+(``utils/commons/trainer.py:306-374``: move_to_cuda, DDP forward, scaled
+backward, NaN scan, clip, step): here the whole update — forward, loss,
+grad, clip, optimizer — is ONE jitted XLA program. Data parallelism comes
+from NamedSharding constraints (batch sharded over the mesh ``data`` axis,
+params replicated); XLA inserts the gradient all-reduce on ICI, replacing
+the NCCL DDP reducer. bf16 on TPU needs no GradScaler.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+LossFn = Callable[[Any, Any, jax.Array], tuple[jax.Array, dict]]
+# loss_fn(params, batch, rng) -> (total_loss, metrics_dict)
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params))
+
+
+def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None,
+                    data_axis: str = "data") -> Callable:
+    """Build ``train_step(state, batch, rng) -> (state, metrics)`` (jitted).
+
+    With a mesh, the batch is constrained to be sharded over ``data_axis``
+    and state replicated; grad accumulation (if desired) wraps this step in
+    a host loop or ``lax.scan`` over microbatches at the task layer.
+    """
+
+    def step_fn(state: TrainState, batch, rng):
+        if mesh is not None:
+            batch = jax.lax.with_sharding_constraint(
+                batch, NamedSharding(mesh, P(data_axis)))
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (total, metrics), grads = grad_fn(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        return new_state, metrics
+
+    if mesh is not None:
+        rep = NamedSharding(mesh, P())
+        return jax.jit(step_fn, donate_argnums=(0,),
+                       out_shardings=(rep, rep))
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(loss_fn: LossFn, mesh: Optional[Mesh] = None,
+                   data_axis: str = "data") -> Callable:
+    def step_fn(params, batch, rng):
+        if mesh is not None:
+            batch = jax.lax.with_sharding_constraint(
+                batch, NamedSharding(mesh, P(data_axis)))
+        total, metrics = loss_fn(params, batch, rng)
+        metrics = dict(metrics)
+        metrics["total_loss"] = total
+        return metrics
+
+    return jax.jit(step_fn)
