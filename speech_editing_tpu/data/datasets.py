@@ -1,0 +1,273 @@
+"""Speech datasets + host-side loader feeding the TPU train loop.
+
+Parity surface:
+
+* ``BaseSpeechDataset`` / ``StutterSpeechDataset`` (here: EditingDataset) —
+  ``tasks/speech_editing/dataset_utils.py:14-170``: mel/ph_token/mel2ph/f0/uv
+  per item, time_mel_mask generation (train = random | alignment_aware at
+  ``training_mask_ratio``; infer = contiguous 50% phone span), spk embed/id;
+* ``BaseDataset`` size-sorted shuffled ordering —
+  ``utils/commons/dataset_utils.py:173-211``;
+* the loader replaces torch DataLoader + rank-strided batch sharding
+  (``tasks/tts/speech_base.py:91-137``): batches are token-bucketed
+  (collate pads to ``size_multiple`` so XLA sees few distinct shapes) and
+  the whole global batch is device_put sharded over the mesh by the trainer.
+
+Randomness is explicit: per-item masks draw from a RandomState seeded by
+(seed, epoch, index), so any item is reproducible independent of worker
+scheduling.
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from typing import Any, Optional
+
+import numpy as np
+
+from speech_editing_tpu.data.collate import (batch_by_size, collate_1d_or_2d)
+from speech_editing_tpu.data.indexed_dataset import IndexedDataset
+from speech_editing_tpu.data.masks import (generate_alignment_aware_time_mask,
+                                           generate_inference_mask,
+                                           generate_time_mask)
+from speech_editing_tpu.utils.audio.pitch import norm_interp_f0
+
+
+class BaseDataset:
+    def __init__(self, hp, shuffle: bool = False):
+        self.hp = hp
+        self.shuffle = shuffle
+        self.sort_by_len = hp.get("sort_by_len", True)
+        self.sizes: Any = None
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _item_rng(self, index: int) -> np.random.RandomState:
+        seed = int(self.hp.get("seed", 1234))
+        return np.random.RandomState(
+            (seed * 1000003 + self.epoch * 10007 + index) % (2 ** 31))
+
+    def __len__(self):
+        return len(self.sizes)
+
+    def num_tokens(self, index: int) -> int:
+        return self.size(index)
+
+    def size(self, index: int) -> int:
+        return min(self.sizes[index], self.hp.get("max_frames", 1548))
+
+    def ordered_indices(self) -> np.ndarray:
+        if self.shuffle:
+            rng = np.random.RandomState(
+                int(self.hp.get("seed", 1234)) + self.epoch)
+            indices = rng.permutation(len(self))
+            if self.sort_by_len:
+                indices = indices[np.argsort(
+                    np.array(self.sizes)[indices], kind="mergesort")]
+        else:
+            indices = np.arange(len(self))
+        return indices
+
+
+class BaseSpeechDataset(BaseDataset):
+    def __init__(self, prefix: str, hp, shuffle: bool = False,
+                 items=None, data_dir: Optional[str] = None):
+        super().__init__(hp, shuffle)
+        self.data_dir = hp["binary_data_dir"] if data_dir is None else data_dir
+        self.prefix = prefix
+        self.indexed_ds = None
+        if items is not None:
+            self.indexed_ds = items
+            self.sizes = [len(it["mel"]) for it in items]
+            self.avail_idxs = list(range(len(self.sizes)))
+        else:
+            self.sizes = np.load(f"{self.data_dir}/{self.prefix}_lengths.npy")
+            if prefix == "test" and len(hp.get("test_ids", [])) > 0:
+                self.avail_idxs = list(hp["test_ids"])
+            else:
+                self.avail_idxs = list(range(len(self.sizes)))
+            if prefix == "train" and hp.get("min_frames", 0) > 0:
+                self.avail_idxs = [x for x in self.avail_idxs
+                                   if self.sizes[x] >= hp["min_frames"]]
+            self.sizes = [self.sizes[i] for i in self.avail_idxs]
+
+    def _get_item(self, index: int):
+        if self.avail_idxs is not None:
+            index = self.avail_idxs[index]
+        if self.indexed_ds is None:
+            self.indexed_ds = IndexedDataset(f"{self.data_dir}/{self.prefix}")
+        return self.indexed_ds[index]
+
+    def __getitem__(self, index: int) -> dict:
+        hp = self.hp
+        item = self._get_item(index)
+        max_frames = hp.get("max_frames", 1548)
+        spec = np.asarray(item["mel"], np.float32)[:max_frames]
+        fm = hp.get("frames_multiple", 1)
+        max_frames = spec.shape[0] // fm * fm
+        spec = spec[:max_frames]
+        ph_token = np.asarray(
+            item["ph_token"][: hp.get("max_input_tokens", 1550)], np.int64)
+        sample = {
+            "id": index,
+            "item_name": item["item_name"],
+            "text": item.get("txt", ""),
+            "txt_token": ph_token,
+            "mel": spec,
+        }
+        if hp.get("use_spk_embed"):
+            sample["spk_embed"] = np.asarray(item["spk_embed"], np.float32)
+        if hp.get("use_spk_id"):
+            sample["spk_id"] = int(item["spk_id"])
+        return sample
+
+    def collater(self, samples: list) -> dict:
+        if len(samples) == 0:
+            return {}
+        hp = self.hp
+        sm = int(hp.get("frame_size_multiple", 1))
+        tok_m = int(hp.get("token_size_multiple", 1))
+        batch = {
+            "id": np.asarray([s["id"] for s in samples], np.int64),
+            "item_name": [s["item_name"] for s in samples],
+            "nsamples": len(samples),
+            "text": [s["text"] for s in samples],
+            "txt_tokens": collate_1d_or_2d(
+                [s["txt_token"] for s in samples], 0, size_multiple=tok_m),
+            "txt_lengths": np.asarray(
+                [len(s["txt_token"]) for s in samples], np.int64),
+            "mels": collate_1d_or_2d(
+                [s["mel"] for s in samples], 0.0, size_multiple=sm),
+            "mel_lengths": np.asarray(
+                [s["mel"].shape[0] for s in samples], np.int64),
+        }
+        if hp.get("use_spk_embed"):
+            batch["spk_embed"] = np.stack([s["spk_embed"] for s in samples])
+        if hp.get("use_spk_id"):
+            batch["spk_ids"] = np.asarray(
+                [s["spk_id"] for s in samples], np.int64)
+        return batch
+
+
+class EditingDataset(BaseSpeechDataset):
+    """Speech-editing dataset with time_mel_masks (reference
+    StutterSpeechDataset)."""
+
+    def __getitem__(self, index: int) -> dict:
+        sample = super().__getitem__(index)
+        hp = self.hp
+        item = self._get_item(index)
+        sample["wav_fn"] = item.get("wav_fn")
+        t = sample["mel"].shape[0]
+        mel2ph = np.asarray(item["mel2ph"], np.int64)[:t]
+        sample["mel2ph"] = mel2ph
+
+        if hp.get("use_pitch_embed", True):
+            f0, uv = norm_interp_f0(np.asarray(item["f0"], np.float32)[:t])
+            sample["f0"] = f0.astype(np.float32)
+            sample["uv"] = uv.astype(np.float32)
+            sample["pitch"] = np.asarray(
+                item.get("pitch", np.zeros(t)), np.int64)[:t]
+
+        if "stutter_mel_mask" in item:
+            sample["stutter_mel_mask"] = np.asarray(
+                item["stutter_mel_mask"], np.int64)[:t]
+
+        rng = self._item_rng(index)
+        if not hp.get("infer", False):
+            ratio = hp.get("training_mask_ratio", 0.8)
+            if hp.get("mask_type", "alignment_aware") == "random":
+                mask = generate_time_mask(t, ratio, rng)
+            else:
+                mask = generate_alignment_aware_time_mask(mel2ph, ratio, rng)
+        else:
+            mask = generate_inference_mask(mel2ph, 0.5, rng)
+        sample["time_mel_mask"] = mask.astype(np.float32)
+        return sample
+
+    def collater(self, samples: list) -> dict:
+        if len(samples) == 0:
+            return {}
+        batch = super().collater(samples)
+        hp = self.hp
+        sm = int(hp.get("frame_size_multiple", 1))
+        batch["wav_fn"] = [s["wav_fn"] for s in samples]
+        if hp.get("use_pitch_embed", True):
+            batch["f0"] = collate_1d_or_2d(
+                [s["f0"] for s in samples], 0.0, size_multiple=sm)
+            batch["uv"] = collate_1d_or_2d(
+                [s["uv"] for s in samples], 0.0, size_multiple=sm)
+            batch["pitch"] = collate_1d_or_2d(
+                [s["pitch"] for s in samples], 0, size_multiple=sm)
+        batch["mel2ph"] = collate_1d_or_2d(
+            [s["mel2ph"] for s in samples], 0, size_multiple=sm)
+        if "stutter_mel_mask" in samples[0]:
+            batch["stutter_mel_masks"] = collate_1d_or_2d(
+                [s["stutter_mel_mask"] for s in samples],
+                hp.get("stutter_pad_idx", -1), size_multiple=sm)
+        batch["time_mel_masks"] = collate_1d_or_2d(
+            [s["time_mel_mask"] for s in samples], 0, size_multiple=sm)
+        return batch
+
+
+class DataLoader:
+    """Token-bucketed batch iterator with background prefetch.
+
+    Replaces torch DataLoader workers (``ds_workers``): item decode is cheap
+    (pickle + numpy), so one prefetch thread keeps the device fed while the
+    previous step runs.
+    """
+
+    def __init__(self, dataset: BaseDataset, max_tokens: Optional[int] = None,
+                 max_sentences: Optional[int] = None,
+                 required_batch_size_multiple: int = 1,
+                 endless: bool = False, prefetch: int = 2):
+        self.dataset = dataset
+        self.max_tokens = max_tokens
+        self.max_sentences = max_sentences
+        self.bsz_mult = required_batch_size_multiple
+        self.endless = endless
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def _batches(self):
+        indices = self.dataset.ordered_indices()
+        return batch_by_size(
+            indices, self.dataset.num_tokens, max_tokens=self.max_tokens,
+            max_sentences=self.max_sentences,
+            required_batch_size_multiple=self.bsz_mult)
+
+    def __iter__(self):
+        while True:
+            self.dataset.set_epoch(self._epoch)
+            batches = self._batches()
+            if self.dataset.shuffle:
+                rng = np.random.RandomState(
+                    int(self.dataset.hp.get("seed", 1234)) + self._epoch)
+                rng.shuffle(batches)
+
+            q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+            stop = object()
+
+            def producer():
+                try:
+                    for idxs in batches:
+                        samples = [self.dataset[i] for i in idxs]
+                        q.put(self.dataset.collater(samples))
+                finally:
+                    q.put(stop)
+
+            th = threading.Thread(target=producer, daemon=True)
+            th.start()
+            while True:
+                b = q.get()
+                if b is stop:
+                    break
+                yield b
+            th.join()
+            self._epoch += 1
+            if not self.endless:
+                return

@@ -75,6 +75,54 @@ TINY_HP = {
 VOCAB = 12
 
 
+def synth_corpus_items(rng, n_items=8, n_mels=80, t_max=80, s_max=10):
+    """Synthetic binarized items matching the reference binarizer's schema
+    (mel, ph_token, mel2ph, f0, pitch, spk_embed, wav_fn, item_name, txt)."""
+    items = []
+    for i in range(n_items):
+        t_len = int(rng.randint(t_max // 2, t_max))
+        s = int(rng.randint(4, s_max))
+        ph_token = rng.randint(3, VOCAB, s).astype(np.int64)
+        bounds = np.sort(rng.choice(np.arange(1, t_len), s - 1, replace=False))
+        bounds = np.concatenate([[0], bounds, [t_len]])
+        mel2ph = np.zeros(t_len, np.int64)
+        for j in range(s):
+            mel2ph[bounds[j]:bounds[j + 1]] = j + 1
+        f0 = rng.uniform(80, 300, t_len) * (rng.rand(t_len) > 0.2)
+        items.append({
+            "item_name": f"item_{i}",
+            "txt": "synthetic text",
+            "ph_token": ph_token,
+            "mel": (rng.randn(t_len, n_mels) * 0.5 - 2).astype(np.float32),
+            "mel2ph": mel2ph,
+            "f0": f0.astype(np.float32),
+            "pitch": rng.randint(0, 256, t_len).astype(np.int64),
+            "spk_embed": rng.randn(256).astype(np.float32),
+            "spk_id": 0,
+            "wav_fn": f"/tmp/item_{i}.wav",
+        })
+    return items
+
+
+def write_synth_corpus(data_dir, rng, n_items=8, prefixes=("train", "valid", "test")):
+    """Write a tiny binary corpus (IndexedDataset + lengths.npy per split)."""
+    import os
+    from speech_editing_tpu.data.indexed_dataset import IndexedDatasetBuilder
+
+    os.makedirs(data_dir, exist_ok=True)
+    all_items = {}
+    for prefix in prefixes:
+        items = synth_corpus_items(rng, n_items)
+        builder = IndexedDatasetBuilder(f"{data_dir}/{prefix}")
+        for it in items:
+            builder.add_item(it)
+        builder.finalize()
+        np.save(f"{data_dir}/{prefix}_lengths.npy",
+                np.asarray([len(it["mel"]) for it in items]))
+        all_items[prefix] = items
+    return all_items
+
+
 def synth_batch(rng, B=2, S=8, T=64, n_mels=80):
     txt_tokens = np.zeros((B, S), np.int32)
     mel2ph = np.zeros((B, T), np.int32)

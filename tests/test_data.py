@@ -1,0 +1,138 @@
+"""Data layer tests: indexed records, collation, bucketing, masks, datasets."""
+
+import numpy as np
+import pytest
+
+from speech_editing_tpu.data import (BaseSpeechDataset, DataLoader,
+                                     EditingDataset, IndexedDataset,
+                                     IndexedDatasetBuilder, batch_by_size,
+                                     collate_1d, collate_2d,
+                                     generate_alignment_aware_time_mask,
+                                     generate_inference_mask,
+                                     generate_time_mask)
+from tests.helpers import TINY_HP, write_synth_corpus
+
+
+def test_indexed_dataset_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "ds")
+    items = [{"a": rng.randn(50, 8), "name": f"x{i}"} for i in range(20)]
+    b = IndexedDatasetBuilder(path)
+    for it in items:
+        b.add_item(it)
+    b.finalize()
+    ds = IndexedDataset(path)
+    assert len(ds) == 20
+    for i in (0, 7, 19, 7):
+        assert np.array_equal(ds[i]["a"], items[i]["a"])
+        assert ds[i]["name"] == items[i]["name"]
+    with pytest.raises(IndexError):
+        ds[20]
+    # idx file format is np.save'd offsets dict (reference-compatible)
+    offs = np.load(path + ".idx", allow_pickle=True).item()["offsets"]
+    assert offs[0] == 0 and len(offs) == 21
+
+
+def test_collate_padding_and_multiple():
+    vals = [np.ones(5), np.ones(3)]
+    out = collate_1d(vals, pad_idx=0)
+    assert out.shape == (2, 5) and out[1, 3:].sum() == 0
+    out = collate_1d(vals, size_multiple=8)
+    assert out.shape == (2, 8)
+    v2 = [np.ones((5, 4)), np.ones((2, 4))]
+    out2 = collate_2d(v2, size_multiple=4)
+    assert out2.shape == (2, 8, 4)
+    assert out2[1, 2:].sum() == 0
+
+
+def test_batch_by_size_budget():
+    sizes = {i: 10 * (i + 1) for i in range(10)}
+    batches = batch_by_size(list(range(10)), lambda i: sizes[i],
+                            max_tokens=100, max_sentences=4)
+    flat = [i for b in batches for i in b]
+    assert sorted(flat) == list(range(10))
+    for b in batches:
+        assert len(b) <= 4
+        assert len(b) * max(sizes[i] for i in b) <= 100 or len(b) == 1
+
+
+def test_time_masks(rng):
+    m = generate_time_mask(100, 0.3, rng)
+    assert m.shape == (100,) and m.sum() == 30
+    # contiguous
+    on = np.where(m == 1)[0]
+    assert (np.diff(on) == 1).all()
+
+    mel2ph = np.repeat(np.arange(1, 11), 10)  # 10 phones x 10 frames
+    am = generate_alignment_aware_time_mask(mel2ph, 0.5, rng)
+    assert am.shape == (100,)
+    # mask follows phone boundaries: within each phone the mask is constant
+    for p in range(1, 11):
+        seg = am[mel2ph == p]
+        assert (seg == seg[0]).all()
+
+    im = generate_inference_mask(mel2ph, 0.5, rng)
+    on_ph = np.unique(mel2ph[im == 1])
+    assert len(on_ph) == 5  # 50% of 10 phones
+    assert (np.diff(on_ph) == 1).all()  # contiguous phone span
+
+
+@pytest.fixture
+def corpus(tmp_path, rng):
+    data_dir = str(tmp_path / "binary")
+    items = write_synth_corpus(data_dir, rng, n_items=8)
+    hp = dict(TINY_HP)
+    hp.update(binary_data_dir=data_dir, infer=False, seed=1234,
+              mask_type="alignment_aware", training_mask_ratio=0.8,
+              max_frames=200, max_input_tokens=50, sort_by_len=True,
+              test_ids=[], min_frames=0)
+    return data_dir, items, hp
+
+
+def test_base_speech_dataset(corpus):
+    data_dir, items, hp = corpus
+    ds = BaseSpeechDataset("train", hp, shuffle=True)
+    assert len(ds) == 8
+    s = ds[0]
+    assert s["mel"].shape[1] == 80
+    assert s["txt_token"].dtype == np.int64
+    batch = ds.collater([ds[0], ds[1], ds[2]])
+    assert batch["mels"].shape[0] == 3
+    assert batch["txt_tokens"].shape[0] == 3
+    assert batch["spk_embed"].shape == (3, 256)
+
+
+def test_editing_dataset_and_loader(corpus):
+    data_dir, items, hp = corpus
+    ds = EditingDataset("train", hp, shuffle=True)
+    s = ds[0]
+    assert set(s) >= {"mel", "mel2ph", "f0", "uv", "time_mel_mask"}
+    t = s["mel"].shape[0]
+    assert s["time_mel_mask"].shape == (t,)
+    assert 0 < s["time_mel_mask"].sum() <= t
+
+    # per-item rng reproducible within an epoch, different across epochs
+    m1 = ds[0]["time_mel_mask"]
+    m2 = ds[0]["time_mel_mask"]
+    assert np.array_equal(m1, m2)
+    ds.set_epoch(1)
+    m3 = ds[0]["time_mel_mask"]
+    assert not np.array_equal(m1, m3)
+    ds.set_epoch(0)
+
+    loader = DataLoader(ds, max_tokens=400, max_sentences=4)
+    batches = list(loader)
+    seen = sum(b["nsamples"] for b in batches)
+    assert seen == len(ds)
+    for b in batches:
+        assert b["mels"].shape[:2] == b["time_mel_masks"].shape
+        assert b["mel2ph"].shape == b["f0"].shape
+
+
+def test_loader_endless_epochs(corpus):
+    data_dir, items, hp = corpus
+    ds = EditingDataset("valid", hp, shuffle=False)
+    loader = DataLoader(ds, max_sentences=4, endless=True)
+    it = iter(loader)
+    n_one_epoch = len(list(DataLoader(ds, max_sentences=4)))
+    got = [next(it) for _ in range(n_one_epoch + 1)]  # crosses epoch boundary
+    assert len(got) == n_one_epoch + 1
