@@ -1,0 +1,94 @@
+"""Vocoder inference registry (mel -> wav).
+
+Parity surface: ``tasks/tts/vocoder_infer/base_vocoder.py`` (@register_vocoder
+:6-18) and ``hifigan.py`` (HifiGAN.spec2wav :23-31). A vocoder class exposes
+``spec2wav(mel [T,80]) -> wav [N]``; the registry is selected by
+``hp['vocoder']``. GriffinLim is the dependency-free fallback when no
+trained vocoder checkpoint is available.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+VOCODERS: dict = {}
+
+
+def register_vocoder(name: Optional[str] = None):
+    def wrap(cls):
+        VOCODERS[(name or cls.__name__).lower()] = cls
+        return cls
+    return wrap
+
+
+def get_vocoder_cls(name: str):
+    return VOCODERS[name.lower()]
+
+
+class BaseVocoder:
+    def spec2wav(self, mel: np.ndarray, **kw) -> np.ndarray:
+        raise NotImplementedError
+
+
+@register_vocoder("GriffinLim")
+class GriffinLim(BaseVocoder):
+    def __init__(self, hp):
+        self.hp = hp
+
+    def spec2wav(self, mel: np.ndarray, **kw) -> np.ndarray:
+        from speech_editing_tpu.utils.audio.griffin_lim import mel2wav_griffin_lim
+        hp = self.hp
+        return mel2wav_griffin_lim(
+            np.asarray(mel), sample_rate=hp["audio_sample_rate"],
+            n_fft=hp["fft_size"], hop_size=hp["hop_size"],
+            num_mels=hp["audio_num_mel_bins"], fmin=hp["fmin"], fmax=hp["fmax"])
+
+
+@register_vocoder("HifiGAN")
+class HifiGAN(BaseVocoder):
+    """Loads a trained flax HiFi-GAN checkpoint from ``hp['vocoder_ckpt']``
+    (directory with our ``model_ckpt_steps_*.ckpt`` + ``config.yaml``).
+    Falls back to Griffin-Lim when the checkpoint is absent so that
+    validation/test keep producing audio on fresh setups."""
+
+    def __init__(self, hp):
+        import yaml
+
+        self.hp = hp
+        self._apply = None
+        self._fallback = None
+        ckpt_dir = hp.get("vocoder_ckpt", "")
+        config_path = os.path.join(ckpt_dir, "config.yaml") if ckpt_dir else ""
+        from speech_editing_tpu.training.checkpoint import (get_last_checkpoint,
+                                                            load_checkpoint)
+        ckpt_path, _ = get_last_checkpoint(ckpt_dir) if ckpt_dir and os.path.isdir(ckpt_dir) else (None, 0)
+        if ckpt_path and os.path.exists(config_path):
+            import jax
+            import jax.numpy as jnp
+
+            from speech_editing_tpu.models.vocoder import HifiGanGenerator
+
+            with open(config_path) as f:
+                vhp = yaml.safe_load(f)
+            payload = load_checkpoint(ckpt_path)
+            state = payload["state"]
+            params = state.params if hasattr(state, "params") else state["params"]
+            if "model_gen" in params:  # GAN TrainState stores gen under model_gen
+                params = params["model_gen"]
+            gen = HifiGanGenerator(hp=vhp)
+            apply_jit = jax.jit(lambda p, m: gen.apply({"params": p}, m))
+
+            def run(mel):
+                return np.asarray(apply_jit(params, jnp.asarray(mel[None], jnp.float32)))[0]
+
+            self._apply = run
+        else:
+            self._fallback = GriffinLim(hp)
+
+    def spec2wav(self, mel: np.ndarray, **kw) -> np.ndarray:
+        if self._apply is not None:
+            return self._apply(np.asarray(mel, np.float32))
+        return self._fallback.spec2wav(mel, **kw)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from speech_editing_tpu.models.spec_denoiser.spec_denoiser import GaussianDiffusion
 from speech_editing_tpu.training.losses import (add_mel_loss, dur_loss,
                                                 pitch_loss, sil_token_mask)
+from speech_editing_tpu.training.tasks.base import BaseTask
 
 
 def build_model(vocab_size: int, hp: Any) -> GaussianDiffusion:
@@ -58,3 +59,14 @@ def make_loss_fn(model: GaussianDiffusion, hp: Any,
         return total, losses
 
     return loss_fn
+
+
+class SpecDenoiserTask(BaseTask):
+    """FluentSpeech diffusion editing task
+    (reference SpeechDenoiserTask, tasks/speech_editing/spec_denoiser.py)."""
+
+    def build_model(self):
+        return build_model(self.vocab_size, self.hp)
+
+    def make_loss_fn(self, model):
+        return make_loss_fn(model, self.hp, sil_token_ids=self.sil_token_ids)

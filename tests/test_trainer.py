@@ -1,0 +1,66 @@
+"""Trainer integration: fit on synthetic corpus, resume, checkpoints, test."""
+
+import os
+
+import numpy as np
+import pytest
+
+from speech_editing_tpu.training.checkpoint import (get_all_ckpts,
+                                                    get_last_checkpoint)
+from speech_editing_tpu.training.tasks.spec_denoiser import SpecDenoiserTask
+from speech_editing_tpu.training.trainer import Trainer
+from tests.helpers import TINY_HP, VOCAB, write_synth_corpus
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("trainer")
+    data_dir = str(tmp / "binary")
+    work_dir = str(tmp / "work")
+    write_synth_corpus(data_dir, np.random.RandomState(0), n_items=12)
+    hp = dict(TINY_HP)
+    hp.update(
+        binary_data_dir=data_dir, work_dir=work_dir, exp_name="tiny",
+        vocab_size=VOCAB, infer=False, seed=1234, sort_by_len=True,
+        mask_type="alignment_aware", training_mask_ratio=0.8,
+        max_frames=200, max_input_tokens=50, test_ids=[], min_frames=0,
+        frame_size_multiple=32, token_size_multiple=8,
+        max_updates=6, val_check_interval=3, tb_log_interval=2,
+        num_sanity_val_steps=1, num_ckpt_keep=2, eval_max_batches=2,
+        max_sentences=4, max_valid_sentences=2, max_tokens=2000,
+        vocoder="GriffinLim", test_num=2, save_gt=True,
+        audio_sample_rate=22050, endless_ds=True)
+    task = SpecDenoiserTask(hp)
+    trainer = Trainer(task, hp)
+    trainer.fit()
+    return hp, work_dir
+
+
+def test_fit_reaches_max_updates_and_checkpoints(trained):
+    hp, work_dir = trained
+    path, steps = get_last_checkpoint(work_dir)
+    assert path is not None and steps == 6
+    assert len(get_all_ckpts(work_dir)) <= hp["num_ckpt_keep"]
+
+
+def test_resume_from_checkpoint(trained):
+    hp, work_dir = trained
+    hp2 = dict(hp)
+    hp2["max_updates"] = 8
+    task = SpecDenoiserTask(hp2)
+    trainer = Trainer(task, hp2)
+    trainer.fit()
+    _, steps = get_last_checkpoint(work_dir)
+    assert steps == 8  # resumed from 6 and ran 2 more
+
+
+def test_test_loop_writes_wavs(trained):
+    hp, work_dir = trained
+    task = SpecDenoiserTask(hp)
+    trainer = Trainer(task, hp)
+    gen_dir = trainer.test()
+    wavs = os.listdir(os.path.join(gen_dir, "wavs"))
+    assert any(w.startswith("[P]") and w.endswith(".wav") for w in wavs)
+    assert any(w.startswith("[G]") for w in wavs)
+    assert any(w.startswith("[P_SEG]") for w in wavs)
+    assert any(w.endswith("_mel.npy") for w in wavs)
