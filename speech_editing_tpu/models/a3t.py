@@ -1,0 +1,109 @@
+"""A3T: alignment-aware acoustic/text joint conformer (flax.linen).
+
+Capability parity: ``modules/speech_editing/a3t/`` (ICML'22 A3T) —
+joint encoding of [masked-mel-embedding | text-embedding] concatenated along
+time with **mel2ph segment embeddings** tying mel frames to their phones
+(a3t_conformer.py:64-101); 4-layer conformer encoder (k=9) + 4-layer
+conformer decoder (k=31) over the concatenated sequence, truncated back to
+the mel length (a3t.py:58); Tacotron-style 5-conv Postnet residual refining
+the composited mel (a3t.py:61-64, a3t_postnet.py).
+
+TPU-first: one static concat sequence [T_mel + S_txt] per bucket; segment
+ids are plain embedding lookups; Postnet uses LayerNorm instead of
+BatchNorm1d (no mutable batch stats in the train step; normalisation role
+is equivalent for residual postnets).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speech_editing_tpu.modules.conformer import ConformerLayers
+from speech_editing_tpu.modules.predictors import MelEncoder
+from speech_editing_tpu.modules.transformer import TokenEmbedding
+
+
+class Postnet(nn.Module):
+    """5-conv residual postnet (a3t_postnet.py:16-113)."""
+
+    odim: int = 80
+    n_layers: int = 5
+    n_chans: int = 512
+    kernel_size: int = 5
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for i in range(self.n_layers - 1):
+            x = nn.Conv(self.n_chans, (self.kernel_size,), padding="SAME",
+                        name=f"conv_{i}")(x)
+            x = nn.LayerNorm(name=f"norm_{i}")(x)
+            x = jnp.tanh(x)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Conv(self.odim, (self.kernel_size,), padding="SAME",
+                    name=f"conv_{self.n_layers - 1}")(x)
+        return x
+
+
+class A3T(nn.Module):
+    vocab_size: int
+    hp: Any
+    out_dims: int = 80
+
+    def setup(self):
+        h = self.hp["hidden_size"]
+        self.hidden_size = h
+        self.txt_embed = TokenEmbedding(self.vocab_size, h, padding_idx=0)
+        self.mel_embed = MelEncoder(hidden_size=h)
+        self.seg_embed = TokenEmbedding(2000, h, padding_idx=0)
+        self.encoder = ConformerLayers(h, num_layers=4, kernel_size=9)
+        self.a3t_decoder = ConformerLayers(h, num_layers=4, kernel_size=31)
+        self.a3t_postnet = Postnet(odim=self.out_dims)
+        self.mel_out_decoder = nn.Dense(self.out_dims)
+
+    def __call__(self, txt_tokens, mels, mel2ph, time_mel_masks,
+                 spk_embed=None, spk_id=None, infer: bool = False,
+                 train: bool = False, **kw):
+        """txt_tokens [B,S]; mels [B,T,80]; mel2ph [B,T];
+        time_mel_masks [B,T,1]."""
+        ret: dict = {}
+        h = self.hidden_size
+        txt_nonpadding = (txt_tokens > 0).astype(jnp.float32)
+        mel_nonpadding = (mel2ph > 0).astype(jnp.float32)
+        t_mel = mels.shape[1]
+
+        # text side: embedding + identity segment ids (ph i -> segment i+1)
+        ph2ph = jnp.arange(1, txt_tokens.shape[1] + 1)[None, :]
+        ph2ph = jnp.broadcast_to(ph2ph, txt_tokens.shape) * (
+            txt_tokens > 0).astype(jnp.int32)
+        txt_feat = self.txt_embed(txt_tokens) * txt_nonpadding[:, :, None]
+        txt_feat = txt_feat + self.seg_embed(ph2ph)
+
+        # mel side: masked-mel embedding + mel2ph segment ids
+        mel_feat = self.mel_embed(
+            mels * (1 - time_mel_masks)) * mel_nonpadding[:, :, None]
+        mel_feat = mel_feat + self.seg_embed(mel2ph.astype(jnp.int32))
+
+        x = jnp.concatenate([mel_feat, txt_feat], axis=1)
+        nonpadding = jnp.concatenate([mel_nonpadding, txt_nonpadding], axis=1)
+        x = x * nonpadding[:, :, None]
+
+        enc = self.encoder(x, nonpadding, train=train)
+        dec = self.a3t_decoder(enc, nonpadding, train=train)
+        dec = dec[:, :t_mel] * mel_nonpadding[:, :, None]
+        mel_out_decoder = self.mel_out_decoder(dec) * mel_nonpadding[:, :, None]
+
+        mel_decoder = mels * (1 - time_mel_masks) + mel_out_decoder * time_mel_masks
+        post_in = self.mel_embed(mel_decoder) * mel_nonpadding[:, :, None]
+        mel_out_postnet = self.a3t_postnet(
+            post_in, train=train) * mel_nonpadding[:, :, None]
+        mel_out_postnet = mel_decoder + mel_out_postnet * time_mel_masks
+
+        ret["mel_out_decoder"] = mel_out_decoder
+        ret["mel_out_postnet"] = mel_out_postnet
+        return ret

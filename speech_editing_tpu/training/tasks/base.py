@@ -68,12 +68,14 @@ class BaseTask:
         raise NotImplementedError
 
     def init_model(self, model, batch, rng):
-        """Default init for editing models (txt/mask/mel2ph/spk/mels/f0/uv)."""
+        """Default init for editing models (txt/mask/mel2ph/spk/mels/f0/uv).
+        init is jitted: eager initialisation dispatches thousands of tiny
+        ops and is orders of magnitude slower on CPU."""
         import jax
         import jax.numpy as jnp
 
         k1, k2 = jax.random.split(rng)
-        return model.init(
+        return jax.jit(model.init)(
             {"params": k1, "diffusion": k2},
             jnp.asarray(batch["txt_tokens"]),
             jnp.asarray(batch["time_mel_masks"])[..., None].astype(jnp.float32),

@@ -70,6 +70,7 @@ TINY_HP = {
     "accumulate_grad_batches": 1,
     "max_frames": 96,
     "max_input_tokens": 20,
+    "lstm_hidden": 64,
 }
 
 VOCAB = 12
