@@ -1,0 +1,178 @@
+"""StutterSpeech: stutter-conditioned masked diffusion + predictors (flax).
+
+Capability parity with the StutterSpeech extension:
+
+* :class:`FrameStutterHead` — in-model frame-level 3-class stutter predictor
+  (``modules/speech_editing/stutter_speech/stutter_predictor.py:47-65``:
+  ConditionalConvBlocks over decoder states conditioned on the mel encoding);
+* :class:`StutterGaussianDiffusion` —
+  ``modules/speech_editing/stutter_speech/spec_denoiser.py:159-199``: the
+  FluentSpeech conditioner plus a 3-way ``stutter_embed`` added to the
+  decoder input during training, stutter predictor output exposed for the
+  CE/focal losses;
+* :class:`StutterPredictor` — the standalone 16x-downsampled block
+  classifier (``modules/speech_editing/spec_denoiser/stutter_predictor.py``):
+  stride-2 conv mel prenet x4, text conv encoder (transfer-loaded from a
+  trained editor), WN decoder conditioned on block-pooled expanded text.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speech_editing_tpu.models.fs import FastSpeech
+from speech_editing_tpu.modules.conv import (ConditionalConvBlocks, ConvBlocks,
+                                             TextConvEncoder)
+from speech_editing_tpu.modules.predictors import MelEncoder
+from speech_editing_tpu.modules.transformer import TokenEmbedding
+from speech_editing_tpu.modules.wavenet import WN, DiffNet
+from speech_editing_tpu.ops import diffusion as diff_ops
+from speech_editing_tpu.ops.seq_ops import expand_states
+
+
+class FrameStutterHead(nn.Module):
+    hidden_size: int
+    odim: int = 3
+
+    @nn.compact
+    def __call__(self, x, cond, nonpadding=None, train: bool = False):
+        x = ConditionalConvBlocks(
+            self.hidden_size, self.hidden_size, (1,) * 4, 5,
+            layers_in_block=1, dropout=0.3, name="conv")(
+            x, cond, nonpadding, train=train)
+        return nn.Dense(self.odim, name="linear")(x)
+
+
+class StutterGaussianDiffusion(nn.Module):
+    """Masked-conditional DDPM with stutter conditioning."""
+
+    vocab_size: int
+    hp: Any
+    out_dims: int = 80
+
+    def setup(self):
+        hp = self.hp
+        self.fs = FastSpeech(self.vocab_size, hp)
+        self.mel_encoder = MelEncoder(hidden_size=hp["hidden_size"])
+        self.stutter_embed = TokenEmbedding(3, hp["hidden_size"])
+        self.stutter_predictor = FrameStutterHead(hp["hidden_size"])
+        self.denoise_fn = DiffNet(
+            in_dims=self.out_dims, encoder_hidden=hp["hidden_size"],
+            residual_layers=hp["residual_layers"],
+            residual_channels=hp["residual_channels"],
+            dilation_cycle_length=hp["dilation_cycle_length"])
+        self.sched = diff_ops.DiffusionSchedule.create(
+            schedule_type=hp.get("schedule_type", "vpsde"),
+            timesteps=hp["timesteps"], time_scale=hp.get("timescale", 1))
+
+    def __call__(self, txt_tokens, time_mel_masks, stutter_mel_masks, mel2ph,
+                 spk_embed, ref_mels, f0, uv, energy=None,
+                 infer: bool = False, use_pred_mel2ph: bool = False,
+                 use_pred_pitch: bool = False,
+                 rng: Optional[jax.Array] = None, train: bool = False):
+        """stutter_mel_masks [B,T] int (0 fluent / 1 stutter / 2 pad)."""
+        if rng is None:
+            rng = self.make_rng("diffusion")
+        ret = self.fs(txt_tokens, time_mel_masks, mel2ph, spk_embed, f0, uv,
+                      energy, skip_decoder=True, infer=infer,
+                      use_pred_mel2ph=use_pred_mel2ph,
+                      use_pred_pitch=use_pred_pitch, train=train)
+        decoder_inp = ret["decoder_inp"]
+        mel2ph = ret["mel2ph"]
+        tgt_nonpadding = (mel2ph > 0)[:, :, None].astype(decoder_inp.dtype)
+
+        stutter_cond = self.mel_encoder(ref_mels) * tgt_nonpadding
+        ret["stutter_predictor_out"] = self.stutter_predictor(
+            decoder_inp, stutter_cond, tgt_nonpadding, train=train)
+        if not infer:
+            decoder_inp = decoder_inp + self.stutter_embed(
+                stutter_mel_masks.astype(jnp.int32)) * tgt_nonpadding
+        cond = decoder_inp + self.mel_encoder(
+            ref_mels * (1 - time_mel_masks)) * tgt_nonpadding
+
+        b = txt_tokens.shape[0]
+        if not infer:
+            k_t, k_noise = jax.random.split(rng)
+            t = jax.random.randint(k_t, (b,), 0, self.sched.num_timesteps + 1)
+            noise = jax.random.normal(k_noise, ref_mels.shape, jnp.float32)
+            x_t = diff_ops.diffuse(self.sched, ref_mels, t, noise) * tgt_nonpadding
+            ret["mel_out"] = self.denoise_fn(x_t, t, cond) * tgt_nonpadding
+        else:
+            big_t = self.sched.num_timesteps
+            key, sub = jax.random.split(rng)
+            x = jax.random.normal(sub, (b, cond.shape[1], self.out_dims),
+                                  jnp.float32)
+            for i in range(big_t - 1, -1, -1):
+                t = jnp.full((b,), i, jnp.int32)
+                key, sub = jax.random.split(key)
+                x0_pred = self.denoise_fn(x, t, cond)
+                x = diff_ops.q_posterior_sample(self.sched, x0_pred, x, t, sub)
+            ret["mel_out"] = x
+        return ret
+
+
+class ConvMelPrenet(nn.Module):
+    """4x stride-2 convs -> 16x time downsample + linear
+    (spec_denoiser/stutter_predictor.py:15-35)."""
+
+    hidden_size: int = 192
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(4):
+            x = nn.Conv(self.hidden_size, (3,), strides=(2,), padding=((1, 1),),
+                        name=f"conv_{i}")(x)
+            x = nn.leaky_relu(x, 0.2)
+        return nn.Dense(self.hidden_size, name="fc_out")(x)
+
+
+class StutterPredictor(nn.Module):
+    """Standalone block-level (16x downsampled) 3-class stutter classifier."""
+
+    vocab_size: int
+    hp: Any
+    block_size: int = 16
+
+    def setup(self):
+        hp = self.hp
+        h = hp["hidden_size"]
+        self.hidden_size = h
+        self.txt_encoder = TextConvEncoder(
+            self.vocab_size, h, h, tuple(hp["enc_dilations"]),
+            hp["enc_kernel_size"], norm_type=hp.get("enc_dec_norm", "ln"),
+            layers_in_block=hp.get("layers_in_block", 2),
+            post_net_kernel=hp.get("enc_post_net_kernel", 3))
+        self.mel_prenet = ConvMelPrenet(hidden_size=h)
+        self.mel_convs = ConvBlocks(h, h, (1,) * 5, kernel_size=5,
+                                    layers_in_block=2)
+        self.decoder_text_prenet = ConvMelPrenet(hidden_size=h)
+        self.decoder = WN(h, kernel_size=5, dilation_rate=1, n_layers=4,
+                          c_cond=h, dropout=0.3)
+        self.out_proj = nn.Dense(3, use_bias=False)
+        self.drop = nn.Dropout(0.3)
+
+    def __call__(self, txt_tokens, mels, mel2ph, infer: bool = False,
+                 train: bool = False):
+        """mels [B,T,80] with T % 16 == 0 -> logits [B, T//16, 3]."""
+        b, t = mel2ph.shape
+        txt_nonpadding = (txt_tokens > 0).astype(jnp.float32)[:, :, None]
+        txt_embed = self.txt_encoder(txt_tokens) * txt_nonpadding
+
+        blocks = t // self.block_size
+        mel_nonpadding = (mel2ph > 0).astype(jnp.float32)
+        block_nonpadding = (mel_nonpadding.reshape(
+            b, blocks, self.block_size).sum(-1) > 0).astype(jnp.float32)[:, :, None]
+        mel_embed = self.mel_convs(self.mel_prenet(mels)) * block_nonpadding
+
+        txt_embed = self.drop(txt_embed, deterministic=not train)
+        mel_embed = self.drop(mel_embed, deterministic=not train)
+
+        expanded_txt = expand_states(txt_embed, mel2ph)
+        condition = self.decoder_text_prenet(expanded_txt) * block_nonpadding
+        dec = self.decoder(mel_embed, cond=condition, train=train)
+        logits = self.out_proj(dec) * block_nonpadding
+        return {"logits": logits, "attn": None}

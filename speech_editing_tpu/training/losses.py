@@ -114,6 +114,33 @@ def pitch_loss(losses: dict, pitch_pred: jax.Array, f0: jax.Array,
                     / jnp.maximum(jnp.sum(nonpadding), 1.0)) * hp["lambda_f0"]
 
 
+def multi_focal_loss(logits: jax.Array, target: jax.Array,
+                     alpha=(1e-3, 1.0, 0.0), gamma: float = 5.0,
+                     smooth: float = 1e-6) -> jax.Array:
+    """Class-weighted focal loss over [B, T, C] logits / [B, T] int targets
+    (reference MultiFocalLoss, tasks/speech_editing/stutter_predictor.py:28-57;
+    alpha = [fluent, stutter, pad])."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    log_probs = jnp.log(jnp.maximum(probs, 1e-12))
+    tgt = target.astype(jnp.int32)
+    p_t = jnp.take_along_axis(probs, tgt[..., None], axis=-1)[..., 0] + smooth
+    logp_t = jnp.take_along_axis(log_probs, tgt[..., None], axis=-1)[..., 0] + smooth
+    a = jnp.asarray(alpha, logits.dtype)[tgt]
+    return jnp.mean(-a * (1.0 - p_t) ** gamma * logp_t)
+
+
+def cross_entropy_loss(logits: jax.Array, target: jax.Array,
+                       ignore_index: int = -1) -> jax.Array:
+    """Mean CE over [B, T, C] logits / [B, T] int targets, skipping
+    ignore_index positions (torch CrossEntropyLoss semantics)."""
+    tgt = target.astype(jnp.int32)
+    valid = (tgt != ignore_index).astype(jnp.float32)
+    tgt_safe = jnp.where(tgt == ignore_index, 0, tgt)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, tgt_safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
 def sil_token_mask(txt_tokens: jax.Array, sil_token_ids) -> jax.Array:
     """[B, S] float mask of tokens in the silence-phoneme id set."""
     is_sil = jnp.zeros_like(txt_tokens, dtype=bool)

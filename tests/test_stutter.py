@@ -1,0 +1,94 @@
+"""Stutter stack: conditioned diffusion, block predictor, focal loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_editing_tpu.training.losses import (cross_entropy_loss,
+                                                multi_focal_loss)
+from speech_editing_tpu.training.tasks.stutter_speech import (
+    StutterPredictorTask, StutterSpeechTask, collapse_stutter_labels)
+from tests.helpers import TINY_HP, VOCAB, synth_batch
+
+
+def _hp(**kw):
+    hp = dict(TINY_HP)
+    hp.update(vocab_size=VOCAB, binary_data_dir="", stutter_pad_idx=-1,
+              stutter_block_size=16, **kw)
+    return hp
+
+
+def _stutter_batch(rng, B=2, S=8, T=64):
+    b = synth_batch(rng, B=B, S=S, T=T)
+    b["time_mel_masks"] = b["time_mel_masks"][..., 0]
+    stutter = np.zeros((B, T), np.int64)
+    stutter[:, 10:20] = 1
+    stutter[0, 56:] = -1  # padding region
+    b["stutter_mel_masks"] = stutter
+    return b
+
+
+def test_collapse_labels():
+    s = jnp.asarray([[0, 2, -1, 1, 0]])
+    out = np.asarray(collapse_stutter_labels(s))
+    assert out.tolist() == [[0, 1, 2, 1, 0]]
+
+
+def test_focal_and_ce_losses():
+    logits = jnp.asarray(np.random.RandomState(0).randn(2, 8, 3), jnp.float32)
+    labels = jnp.asarray(np.random.RandomState(1).randint(0, 2, (2, 8)))
+    fl = float(multi_focal_loss(logits, labels))
+    ce = float(cross_entropy_loss(logits, labels))
+    assert np.isfinite(fl) and fl >= 0
+    assert np.isfinite(ce) and ce > 0
+    # confident-correct logits -> near-zero focal loss
+    strong = jax.nn.one_hot(labels, 3) * 20.0
+    assert float(multi_focal_loss(strong, labels)) < 1e-4
+
+
+def test_stutter_speech_task(rng):
+    hp = _hp()
+    task = StutterSpeechTask(hp)
+    model = task.build_model()
+    batch_np = _stutter_batch(rng)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    variables = task.init_model(model, batch_np, jax.random.PRNGKey(0))
+    loss_fn = task.make_loss_fn(model)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    (total, metrics), grads = grad_fn(variables["params"], batch,
+                                      jax.random.PRNGKey(1))
+    assert np.isfinite(float(total))
+    assert {"ce", "focal", "l1_coarse", "pdur", "f0"} <= set(metrics)
+    # DiffNet's zero-init output head blocks upstream grads at step 0; after
+    # one SGD step the stutter embedding must receive gradient.
+    params = jax.tree.map(lambda p, g: p - 0.05 * g, variables["params"], grads)
+    _, grads2 = grad_fn(params, batch, jax.random.PRNGKey(3))
+    g = grads2["stutter_embed"]
+    assert float(sum(jnp.sum(x ** 2) for x in jax.tree.leaves(g))) > 0
+
+    infer_fn = task.build_infer_fn(model)
+    out = infer_fn(variables, batch, jax.random.PRNGKey(2))
+    tm = batch_np["time_mel_masks"]
+    mel_out = np.asarray(out["mel_out"])
+    assert np.allclose(mel_out[tm == 0], batch_np["mels"][tm == 0], atol=1e-5)
+    assert np.isfinite(mel_out).all()
+
+
+def test_stutter_predictor_task(rng):
+    hp = _hp(frames_multiple=16)
+    task = StutterPredictorTask(hp)
+    model = task.build_model()
+    batch_np = _stutter_batch(rng, T=64)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    variables = task.init_model(model, batch_np, jax.random.PRNGKey(0))
+    loss_fn = task.make_loss_fn(model)
+    (total, metrics), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+        variables["params"], batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(total))
+    assert 0 <= float(metrics["acc"]) <= 1
+
+    infer_fn = task.build_infer_fn(model)
+    out = infer_fn(variables, batch, jax.random.PRNGKey(2))
+    assert out["logits"].shape == (2, 64 // 16, 3)
+    assert out["stutter_pred"].shape == (2, 4)
