@@ -1,0 +1,291 @@
+"""Region-edit inference: the user-facing CSV edit API (FluentSpeech).
+
+Parity surface: ``inference/tts/spec_denoiser.py`` —
+
+* CSV schema id,item_name,text,edited_text,wav_fn_orig,edited_region,region
+  (``inference/example.csv``);
+* ``preprocess_input`` (:151-196): g2p both texts, word-region resolution,
+  TextGrid mel2ph, f0/uv;
+* ``forward_model`` (:63-149) — **duration inpainting**: durations of
+  untouched words anchor the predictor, the duration predictor fills the
+  edited words, the frame-level mel2ph/ref-mel/f0/uv are spliced
+  [head | predicted edit | shifted tail], and the diffusion model
+  regenerates only the masked span (use_pred_pitch=True);
+* ``data_preprocess`` (:296-338): per-item ``.lab`` files, OOV words
+  appended to the MFA dict, ``mfa align`` subprocess.
+
+TPU-first split: all dynamic splicing runs host-side in numpy; exactly two
+device programs run per item — the duration-inpainting sub-forward and the
+full reverse-diffusion + composite (both jitted, shapes cached per length).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import shutil
+import subprocess
+from typing import Any, List
+
+import numpy as np
+
+from speech_editing_tpu.infer.base_infer import BaseInfer
+from speech_editing_tpu.infer.infer_utils import (
+    extract_f0_uv, get_align_from_mfa_output,
+    get_words_region_from_origintxt_region, parse_region_list_from_str)
+from speech_editing_tpu.utils.text.processors import (get_txt_processor_cls,
+                                                      txt_to_ph)
+from speech_editing_tpu.utils.text.text_encoder import is_sil_phoneme
+
+
+class SpecDenoiserInfer(BaseInfer):
+    def build_model(self):
+        import jax
+
+        from speech_editing_tpu.models.spec_denoiser.spec_denoiser import \
+            GaussianDiffusion
+        from speech_editing_tpu.training.tasks.spec_denoiser import build_model
+
+        model = build_model(self.ph_encoder.vocab_size, self.hp)
+        variables = self.load_variables()
+        self._predict_dur = jax.jit(
+            lambda v, *a: model.apply(
+                v, *a, method=GaussianDiffusion.predict_durations))
+        self._infer = jax.jit(
+            lambda v, txt, tm, m2p, spk, mels, f0, uv, rng: model.apply(
+                v, txt, tm, m2p, spk, mels, f0, uv, infer=True,
+                use_pred_pitch=True, rng=rng))
+        return model, variables
+
+    # -- host-side preprocessing ----------------------------------------------
+    def preprocess_input(self, inp: dict) -> dict:
+        txt_processor = get_txt_processor_cls(self.hp.get("language", "en"))
+        ph, txt, words, ph2word, _ = txt_to_ph(txt_processor, inp["text"])
+        ph_token = self.ph_encoder.encode(ph)
+        edited_ph, _, edited_words, edited_ph2word, _ = txt_to_ph(
+            txt_processor, inp["edited_text"])
+        edited_ph_token = self.ph_encoder.encode(edited_ph)
+
+        words = words.split(" ")
+        edited_words = edited_words.split(" ")
+        region = parse_region_list_from_str(inp["region"])
+        edited_region = parse_region_list_from_str(inp["edited_region"])
+        words_region = get_words_region_from_origintxt_region(words, region)
+        edited_words_region = get_words_region_from_origintxt_region(
+            edited_words, edited_region)
+
+        mel = np.asarray(inp["mel"], np.float32)
+        wav = np.asarray(inp["wav"], np.float32)
+        if "mel2ph" in inp:  # precomputed alignment (testing / no-MFA path)
+            mel2ph = list(inp["mel2ph"])
+            from speech_editing_tpu.utils.audio.align import mel2token_to_dur
+            dur = mel2token_to_dur(np.asarray(mel2ph), len(ph_token)).tolist()
+        else:
+            mel2ph, dur = get_align_from_mfa_output(
+                inp["mfa_textgrid"], ph, ph_token, mel,
+                hop_size=self.hp["hop_size"],
+                sample_rate=self.hp["audio_sample_rate"])
+        mel2word = [ph2word[p - 1] for p in mel2ph]
+        f0, uv = extract_f0_uv(wav, mel, hop_size=self.hp["hop_size"],
+                               sample_rate=self.hp["audio_sample_rate"],
+                               f0_min=self.hp.get("f0_min", 80),
+                               f0_max=self.hp.get("f0_max", 600))
+        return {
+            "item_name": inp.get("item_name", "<item>"), "text": txt,
+            "ph": ph, "ph2word": np.asarray(ph2word, np.int64),
+            "edited_ph2word": np.asarray(edited_ph2word, np.int64),
+            "ph_token": np.asarray(ph_token, np.int64),
+            "edited_ph_token": np.asarray(edited_ph_token, np.int64),
+            "words_region": words_region,
+            "edited_words_region": edited_words_region,
+            "mel2ph": np.asarray(mel2ph, np.int64),
+            "mel2word": np.asarray(mel2word, np.int64),
+            "dur": np.asarray(dur, np.int64),
+            "f0": f0.astype(np.float32), "uv": uv.astype(np.float32),
+            "mel": mel, "wav": wav,
+        }
+
+    # -- duration inpainting + splice + diffusion ------------------------------
+    def forward_model(self, item: dict):
+        import jax
+        import jax.numpy as jnp
+
+        hp = self.hp
+        mel = item["mel"]
+        mel2ph = item["mel2ph"]
+        mel2word = item["mel2word"]
+        dur = item["dur"]
+        ph2word = item["ph2word"]
+        edited_ph2word = item["edited_ph2word"]
+        f0, uv = item["f0"], item["uv"]
+        t_orig = mel.shape[0]
+
+        w0, w1 = item["words_region"][0]
+        c0, c1 = item["edited_words_region"][0]
+
+        # durations of untouched words anchor the predictor (ref :88-91)
+        s_edit = len(edited_ph2word)
+        masked_dur = np.zeros(s_edit, np.int64)
+        n_head_ph = int(np.sum(ph2word < w0))
+        masked_dur[:n_head_ph] = dur[:n_head_ph]
+        n_tail_ph = int(np.sum(ph2word > w1))
+        if n_tail_ph > 0:
+            masked_dur[-n_tail_ph:] = dur[-n_tail_ph:]
+
+        edit_frames = (mel2word >= w0) & (mel2word <= w1)
+        masked_mel2ph = np.where(edit_frames, 0, mel2ph)
+        time_mel_masks_orig = edit_frames.astype(np.float32)
+
+        spk_embed = self.spk_embedder(item["wav"])[None]
+
+        # device program 1: duration inpainting on the edited tokens
+        dur_out = self._predict_dur(
+            self.variables, jnp.asarray(item["edited_ph_token"])[None],
+            jnp.asarray(time_mel_masks_orig)[None, :, None],
+            jnp.asarray(masked_mel2ph)[None], jnp.asarray(masked_dur)[None],
+            jnp.asarray(spk_embed))
+        edited_mel2ph_pred = np.asarray(dur_out["mel2ph"])[0]  # [T_orig]
+        safe = np.clip(edited_mel2ph_pred, 1, s_edit)
+        edited_mel2word = edited_ph2word[safe - 1] * (edited_mel2ph_pred > 0)
+
+        in_changed = (edited_mel2word >= c0) & (edited_mel2word <= c1)
+        n_new = int(in_changed.sum())
+        n_old = int(edit_frames.sum())
+        length_edited = n_new - n_old
+        t_new = t_orig + length_edited
+        head_idx = int(np.sum(mel2word < w0))
+        tail_idx = int(np.sum(mel2word <= w1)) + length_edited
+
+        # splice frame-level alignment [head | predicted edit | shifted tail]
+        edited_mel2ph_full = np.zeros(t_new, np.int64)
+        edited_mel2ph_full[:head_idx] = mel2ph[:head_idx]
+        edited_mel2ph_full[head_idx:tail_idx] = edited_mel2ph_pred[in_changed]
+        tail_mask = mel2word > w1
+        if tail_mask.any():
+            tail_vals = mel2ph[tail_mask]
+            edited_mel2ph_full[tail_idx:] = (
+                tail_vals - tail_vals.min()
+                + int(edited_mel2ph_pred[in_changed].max()) + 2)
+
+        # splice ref mel / f0 / uv; masked span stays zero
+        ref_mels = np.zeros((t_new, mel.shape[1]), np.float32)
+        ref_mels[:head_idx] = mel[:head_idx]
+        edited_f0 = np.zeros(t_new, np.float32)
+        edited_uv = np.zeros(t_new, np.float32)
+        edited_f0[:head_idx] = f0[:head_idx]
+        edited_uv[:head_idx] = uv[:head_idx]
+        if tail_mask.any():
+            ref_mels[tail_idx:] = mel[tail_mask]
+            edited_f0[tail_idx:] = f0[tail_mask]
+            edited_uv[tail_idx:] = uv[tail_mask]
+
+        time_mel_masks = np.zeros((t_new, 1), np.float32)
+        time_mel_masks[head_idx:tail_idx] = 1.0
+
+        # device program 2: reverse diffusion over the masked span
+        import jax.numpy as jnp
+        out = self._infer(
+            self.variables, jnp.asarray(item["edited_ph_token"])[None],
+            jnp.asarray(time_mel_masks)[None],
+            jnp.asarray(edited_mel2ph_full)[None], jnp.asarray(spk_embed),
+            jnp.asarray(ref_mels)[None], jnp.asarray(edited_f0)[None],
+            jnp.asarray(edited_uv)[None], jax.random.PRNGKey(
+                int(hp.get("seed", 1234))))
+        mel_out = np.asarray(out["mel_out"])[0]
+        mel_out = mel_out * time_mel_masks + ref_mels * (1 - time_mel_masks)
+
+        wav_out = self.run_vocoder(mel_out)
+        wav_gt = self.run_vocoder(mel)
+        masked_mel_gt = mel * time_mel_masks_orig[:, None]
+        return wav_out, wav_gt, mel_out, mel, ref_mels, masked_mel_gt
+
+    # -- batch driver ----------------------------------------------------------
+    @classmethod
+    def example_run(cls, dataset_info: List[dict], hp: Any,
+                    out_dir: str = "inference/out"):
+        from speech_editing_tpu.utils.audio.dsp import wav2spec
+        from speech_editing_tpu.utils.audio.io import save_wav
+
+        infer_ins = cls(hp)
+        os.makedirs(out_dir, exist_ok=True)
+        for data_info in dataset_info:
+            res = wav2spec(data_info["wav_fn_orig"],
+                           sample_rate=hp["audio_sample_rate"],
+                           n_fft=hp["fft_size"], hop_size=hp["hop_size"],
+                           num_mels=hp["audio_num_mel_bins"],
+                           fmin=hp["fmin"], fmax=hp["fmax"])
+            inp = dict(data_info)
+            inp.update(mel=res["mel"], wav=res["wav"])
+            wav_out, wav_gt, *_ = infer_ins.infer_once(inp)
+            name = inp["item_name"]
+            save_wav(wav_out, f"{out_dir}/{name}.wav", hp["audio_sample_rate"])
+            save_wav(wav_gt, f"{out_dir}/{name}_ref.wav", hp["audio_sample_rate"])
+        print(f"| region-edit results -> {out_dir}")
+
+
+def load_dataset_info(file_path: str) -> List[dict]:
+    rows = []
+    with open(file_path) as f:
+        for row in csv.DictReader(f):
+            rows.append({k: row[k] for k in
+                         ("item_name", "text", "edited_text", "wav_fn_orig",
+                          "edited_region", "region")})
+    return rows
+
+
+def data_preprocess(file_path: str, input_directory: str,
+                    dictionary_path: str, acoustic_model_path: str,
+                    output_directory: str, align: bool = True) -> List[dict]:
+    """Write .lab files + OOV dict entries, run ``mfa align`` (subprocess),
+    attach TextGrid paths (reference :296-338)."""
+    dataset_info = load_dataset_info(file_path)
+    for d in dataset_info:
+        d["mfa_textgrid"] = f"{output_directory}/{d['item_name']}.TextGrid"
+    if not align:
+        return dataset_info
+
+    txt_processor = get_txt_processor_cls("en")
+    os.makedirs(input_directory, exist_ok=True)
+    for d in dataset_info:
+        *_, ph_gb_word = txt_to_ph(txt_processor, d["text"])
+        words_nosil = [
+            "_".join([p for p in w.split("_") if not is_sil_phoneme(p)])
+            for w in ph_gb_word.split(" ") if not is_sil_phoneme(w)]
+        with open(f"{input_directory}/{d['item_name']}.lab", "w") as f:
+            f.write(" ".join(words_nosil))
+        existing = set()
+        if os.path.exists(dictionary_path):
+            with open(dictionary_path) as f:
+                existing = set(f.readlines())
+        with open(dictionary_path, "a+") as f:
+            for w in words_nosil:
+                line = w + "\t" + " ".join(w.split("_")) + "\n"
+                if line not in existing:
+                    f.write(line)
+        shutil.copyfile(d["wav_fn_orig"],
+                        f"{input_directory}/{d['item_name']}.wav")
+
+    if os.path.exists(output_directory):
+        shutil.rmtree(output_directory)
+    cmd = ["mfa", "align", "-j", "4", "--clean", input_directory,
+           dictionary_path, acoustic_model_path, output_directory]
+    print("| running:", " ".join(cmd))
+    subprocess.run(cmd, check=True)
+    return dataset_info
+
+
+if __name__ == "__main__":
+    from speech_editing_tpu.config.hparams import set_hparams
+
+    hp = set_hparams()
+    test_file_path = hp.get("infer_csv", "inference/example.csv")
+    test_wav_directory = "inference/audio"
+    dictionary_path = hp.get("mfa_dict", "data/processed/libritts/mfa_dict.txt")
+    acoustic_model_path = hp.get("mfa_model",
+                                 "data/processed/libritts/mfa_model.zip")
+    output_directory = "inference/audio/mfa_out"
+    dataset_info = data_preprocess(
+        test_file_path, test_wav_directory, dictionary_path,
+        acoustic_model_path, output_directory,
+        align=bool(hp.get("mfa_align", True)))
+    SpecDenoiserInfer.example_run(dataset_info, hp)

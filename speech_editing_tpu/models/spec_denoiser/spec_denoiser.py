@@ -55,6 +55,22 @@ class GaussianDiffusion(nn.Module):
         (e.g. ops.diffusion.p_sample_loop via lax.scan)."""
         return self.denoise_fn(x_t, t, cond)
 
+    def predict_durations(self, txt_tokens, time_mel_masks, masked_mel2ph,
+                          masked_dur, spk_embed=None):
+        """Duration-inpainting sub-forward for the region-edit API
+        (reference inference/tts/spec_denoiser.py:84-98): encoder + style on
+        the EDITED tokens, duration predictor conditioned on the masked
+        ground-truth durations, length-regulated to a predicted mel2ph."""
+        encoder_out = self.fs.encoder(txt_tokens)
+        src_nonpadding = (txt_tokens > 0)[:, :, None].astype(encoder_out.dtype)
+        style_embed = self.fs.forward_style_embed(spk_embed, None)
+        dur_inp = (encoder_out + style_embed) * src_nonpadding
+        ret: dict = {}
+        mel2ph_pred = self.fs.forward_dur(
+            dur_inp, time_mel_masks, masked_mel2ph, txt_tokens, ret,
+            masked_dur=masked_dur, use_pred_mel2ph=True)
+        return {"mel2ph": mel2ph_pred, "dur": ret["dur"]}
+
     def compute_cond(self, txt_tokens, time_mel_masks, mel2ph, spk_embed,
                      ref_mels, f0, uv, use_pred_mel2ph=False,
                      use_pred_pitch=False):
