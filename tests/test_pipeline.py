@@ -1,0 +1,120 @@
+"""Offline pipeline: raw corpus -> preprocess -> (synthetic align) -> binarize
+-> dataset -> one train step. The MFA step is replaced by generated
+TextGrids (MFA is an external binary; the TextGrid parser is the contract)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from speech_editing_tpu.data.binarizer import BaseBinarizer
+from speech_editing_tpu.data.preprocess import BasePreprocessor
+from speech_editing_tpu.data.datasets import EditingDataset
+from speech_editing_tpu.utils.audio.io import save_wav
+from speech_editing_tpu.utils.text.text_encoder import is_sil_phoneme
+
+
+def _write_textgrid(path, phones, total_sec):
+    """Long-form Praat TextGrid with words+phones tiers (MFA layout)."""
+    n = len(phones)
+    bounds = np.linspace(0, total_sec, n + 1)
+    lines = [
+        'File type = "ooTextFile"', 'Object class = "TextGrid"', "",
+        "xmin = 0", f"xmax = {total_sec}", "tiers? <exists>", "size = 2",
+        "item []:",
+        "    item [1]:", '        class = "IntervalTier"',
+        '        name = "words"', "        xmin = 0",
+        f"        xmax = {total_sec}", "        intervals: size = 1",
+        "        intervals [1]:", "            xmin = 0",
+        f"            xmax = {total_sec}", '            text = "w"',
+        "    item [2]:", '        class = "IntervalTier"',
+        '        name = "phones"', "        xmin = 0",
+        f"        xmax = {total_sec}", f"        intervals: size = {n}",
+    ]
+    for i, p in enumerate(phones):
+        lines += [f"        intervals [{i + 1}]:",
+                  f"            xmin = {bounds[i]:.6f}",
+                  f"            xmax = {bounds[i + 1]:.6f}",
+                  f'            text = "{p}"']
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+@pytest.fixture(scope="module")
+def corpus_dirs(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("pipeline")
+    raw = tmp / "raw" / "vctk"
+    texts = ["hello world", "speech editing works", "one two three",
+             "this is data", "more audio here", "final test case"]
+    sr = 22050
+    for i, txt in enumerate(texts):
+        spk = f"p{225 + i % 2}"
+        (raw / "wav48" / spk).mkdir(parents=True, exist_ok=True)
+        (raw / "txt" / spk).mkdir(parents=True, exist_ok=True)
+        t = np.arange(int(sr * 1.2)) / sr
+        wav = (0.3 * np.sin(2 * np.pi * (150 + 30 * i) * t)).astype(np.float32)
+        save_wav(wav, str(raw / "wav48" / spk / f"utt{i}.wav"), sr)
+        with open(raw / "txt" / spk / f"utt{i}.txt", "w") as f:
+            f.write(txt)
+    return str(tmp), str(raw)
+
+
+def test_full_offline_pipeline(corpus_dirs):
+    tmp, raw = corpus_dirs
+    processed = f"{tmp}/processed/vctk"
+    binary = f"{tmp}/binary/vctk"
+    hp = {
+        "ds_name": "vctk", "raw_data_dir": raw, "processed_data_dir": processed,
+        "binary_data_dir": binary, "use_mfa": True, "num_spk": 10,
+        "with_spk_embed": True, "valid_range": [0, 2], "test_range": [0, 2],
+        "train_range": [2, -1], "min_mel_length": 10,
+    }
+    os.environ["N_PROC"] = "1"  # in-process for test determinism
+
+    # 1. preprocess
+    items = BasePreprocessor(hp).process()
+    assert len(items) == 6
+    assert os.path.exists(f"{processed}/phone_set.json")
+    assert os.path.exists(f"{processed}/word_set.json")
+    assert os.path.exists(f"{processed}/spk_map.json")
+    assert os.path.exists(f"{processed}/mfa_dict.txt")
+    assert os.path.exists(f"{processed}/metadata.json")
+    # mfa inputs staged with .lab files
+    labs = [f for _, _, fs in os.walk(f"{processed}/mfa_inputs") for f in fs
+            if f.endswith(".lab")]
+    assert len(labs) == 6
+
+    # 2. fake the MFA output: TextGrids matching each item's phones
+    meta = json.load(open(f"{processed}/metadata.json"))
+    os.makedirs(f"{processed}/mfa_outputs", exist_ok=True)
+    for it in meta:
+        phones = [p for p in it["ph"].split(" ")]
+        # TextGrid contains non-sil phones; silences in ph map to TextGrid sil
+        tg_phones = [p if not is_sil_phoneme(p) else "" for p in phones]
+        _write_textgrid(f"{processed}/mfa_outputs/{it['item_name']}.TextGrid",
+                        tg_phones, total_sec=1.2)
+
+    # 3. binarize
+    BaseBinarizer(hp).process()
+    for prefix in ("train", "valid", "test"):
+        assert os.path.exists(f"{binary}/{prefix}.data")
+        assert os.path.exists(f"{binary}/{prefix}_lengths.npy")
+    assert os.path.exists(f"{binary}/phone_set.json")
+
+    # 4. dataset consumes it
+    ds_hp = {"binary_data_dir": binary, "use_spk_embed": True,
+             "use_spk_id": False, "use_pitch_embed": True, "infer": False,
+             "max_frames": 200, "max_input_tokens": 80, "seed": 1,
+             "mask_type": "alignment_aware", "training_mask_ratio": 0.8,
+             "sort_by_len": True, "test_ids": [], "min_frames": 0,
+             "frames_multiple": 1}
+    ds = EditingDataset("train", ds_hp, shuffle=False)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["mel"].shape[1] == 80
+    assert s["mel2ph"].max() <= len(json.load(open(f"{binary}/phone_set.json"))) + 10
+    assert s["spk_embed"].shape == (256,)
+    assert (s["f0"] != 0).any()
+    batch = ds.collater([ds[0], ds[1]])
+    assert batch["mels"].shape[0] == 2
