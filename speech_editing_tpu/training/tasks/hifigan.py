@@ -1,0 +1,189 @@
+"""HiFi-GAN vocoder training task: fused generator+discriminator GAN step.
+
+Parity surface: ``tasks/vocoder/hifigan.py`` (HifiGanTask._training_step
+:26-63) + ``tasks/vocoder/vocoder_base.py`` (AdamW pair + StepLR :61-76):
+generator losses = L1 GAN-mel * lambda_mel + LSGAN adv (MPD+MSD) *
+lambda_adv + feature matching + optional multi-res STFT; discriminator
+losses = LSGAN real/fake for both discriminator families.
+
+TPU-first: the reference's two-optimizer alternation
+(``trainer.py:306-374``) becomes ONE jitted program per step — generator
+forward/backward and discriminator backward fused; the generated wav is
+computed once and reused (stop_gradient) for the discriminator update.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from speech_editing_tpu.data.vocoder_dataset import VocoderDataset
+from speech_editing_tpu.models.vocoder.hifigan import (
+    HifiGanGenerator, MultiPeriodDiscriminator, MultiScaleDiscriminator,
+    discriminator_loss, feature_loss, generator_loss)
+from speech_editing_tpu.models.vocoder.losses import (
+    gan_mel_spectrogram, multi_resolution_stft_loss)
+from speech_editing_tpu.training.optim import build_gan_optimizer
+from speech_editing_tpu.training.tasks.base import BaseTask
+
+
+@struct.dataclass
+class GanTrainState:
+    step: jax.Array
+    gen_params: Any
+    gen_opt: Any
+    disc_params: Any
+    disc_opt: Any
+
+    @property
+    def params(self):
+        """Full variables view for eval/test paths (generator side)."""
+        return {"gen": self.gen_params, "disc": self.disc_params}
+
+
+class _Discriminators:
+    """MPD + MSD pair applied functionally."""
+
+    def __init__(self):
+        self.mpd = MultiPeriodDiscriminator()
+        self.msd = MultiScaleDiscriminator()
+
+    def init(self, rng, y, y_hat):
+        k1, k2 = jax.random.split(rng)
+        return {"mpd": self.mpd.init(k1, y, y_hat)["params"],
+                "msd": self.msd.init(k2, y, y_hat)["params"]}
+
+    def apply(self, params, y, y_hat):
+        p = self.mpd.apply({"params": params["mpd"]}, y, y_hat)
+        s = self.msd.apply({"params": params["msd"]}, y, y_hat)
+        return p, s
+
+
+class HifiGanTask(BaseTask):
+    dataset_cls = VocoderDataset
+    array_batch_keys = ("mels", "wavs")
+    is_gan = True
+
+    def build_model(self):
+        return HifiGanGenerator(hp=self.hp)
+
+    def build_discriminators(self):
+        return _Discriminators()
+
+    # -- GAN objects used by the Trainer's GAN path ---------------------------
+    def init_gan_state(self, model, disc, batch, rng):
+        import numpy as np
+
+        k_g, k_d = jax.random.split(rng)
+        mel = jnp.asarray(batch["mels"])
+        wav = jnp.asarray(batch["wavs"])
+        gen_vars = jax.jit(model.init)(k_g, mel)
+        y_hat0 = jnp.zeros_like(wav)
+        disc_params = disc.init(k_d, wav, y_hat0)
+        self.gen_tx = build_gan_optimizer(self.hp)
+        self.disc_tx = build_gan_optimizer(self.hp)
+        return GanTrainState(
+            step=jnp.zeros((), jnp.int32),
+            gen_params=gen_vars["params"],
+            gen_opt=self.gen_tx.init(gen_vars["params"]),
+            disc_params=disc_params,
+            disc_opt=self.disc_tx.init(disc_params))
+
+    def make_gan_train_step(self, model, disc, mesh=None):
+        hp = self.hp
+        lambda_mel = float(hp.get("lambda_mel", 45.0))
+        lambda_adv = float(hp.get("lambda_adv", 1.0))
+        use_fm = bool(hp.get("use_fm_loss", True))
+        use_ms_stft = bool(hp.get("use_ms_stft", False))
+        gen_tx, disc_tx = self.gen_tx, self.disc_tx
+
+        def gen_loss_fn(gen_params, disc_params, mel, y):
+            y_ = model.apply({"params": gen_params}, mel)
+            losses = {}
+            y_mel = gan_mel_spectrogram(y, hp)
+            y_hat_mel = gan_mel_spectrogram(y_, hp)
+            losses["mel"] = jnp.mean(jnp.abs(y_hat_mel - y_mel)) * lambda_mel
+            (p_r, p_g, fp_r, fp_g), (s_r, s_g, fs_r, fs_g) = disc.apply(
+                disc_params, y, y_)
+            losses["a_p"] = generator_loss(p_g) * lambda_adv
+            losses["a_s"] = generator_loss(s_g) * lambda_adv
+            if use_fm:
+                losses["fm_f"] = feature_loss(fp_r, fp_g)
+                losses["fm_s"] = feature_loss(fs_r, fs_g)
+            if use_ms_stft:
+                losses["sc"], losses["mag"] = multi_resolution_stft_loss(y_, y)
+            total = sum(losses.values())
+            return total, (losses, y_)
+
+        def disc_loss_fn(disc_params, y, y_detached):
+            (p_r, p_g, _, _), (s_r, s_g, _, _) = disc.apply(
+                disc_params, y, y_detached)
+            losses = {}
+            losses["r_p"], losses["f_p"] = discriminator_loss(p_r, p_g)
+            losses["r_s"], losses["f_s"] = discriminator_loss(s_r, s_g)
+            return sum(losses.values()), losses
+
+        def step_fn(state: GanTrainState, batch, rng):
+            mel = batch["mels"]
+            y = batch["wavs"]
+            # generator update
+            (g_total, (g_losses, y_)), g_grads = jax.value_and_grad(
+                gen_loss_fn, has_aux=True)(state.gen_params,
+                                           state.disc_params, mel, y)
+            g_updates, gen_opt = gen_tx.update(
+                g_grads, state.gen_opt, state.gen_params)
+            gen_params = optax.apply_updates(state.gen_params, g_updates)
+            # discriminator update on the detached fake
+            y_det = jax.lax.stop_gradient(y_)
+            (d_total, d_losses), d_grads = jax.value_and_grad(
+                disc_loss_fn, has_aux=True)(state.disc_params, y, y_det)
+            d_updates, disc_opt = disc_tx.update(
+                d_grads, state.disc_opt, state.disc_params)
+            disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+            metrics = {**g_losses, **d_losses,
+                       "total_loss": g_total + d_total}
+            new_state = GanTrainState(
+                step=state.step + 1, gen_params=gen_params, gen_opt=gen_opt,
+                disc_params=disc_params, disc_opt=disc_opt)
+            return new_state, metrics
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+
+            def sharded(state, batch, rng):
+                batch = jax.lax.with_sharding_constraint(
+                    batch, NamedSharding(mesh, P("data")))
+                return step_fn(state, batch, rng)
+
+            return jax.jit(sharded, donate_argnums=(0,),
+                           out_shardings=(rep, rep))
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def build_infer_fn(self, model):
+        """Copy synthesis with the trained generator (test loop)."""
+
+        def infer_fn(variables, batch, rng):
+            wav = model.apply({"params": variables["params"]["gen"]},
+                              batch["mels"])
+            return {"mel_out": batch["mels"], "wav_out": wav}
+
+        return jax.jit(infer_fn)
+
+    def make_gan_eval_step(self, model, disc):
+        hp = self.hp
+
+        def eval_fn(state_params, batch, rng):
+            y_ = model.apply({"params": state_params["gen"]}, batch["mels"])
+            y_mel = gan_mel_spectrogram(batch["wavs"], hp)
+            y_hat_mel = gan_mel_spectrogram(y_, hp)
+            return {"mel": jnp.mean(jnp.abs(y_hat_mel - y_mel)),
+                    "total_loss": jnp.mean(jnp.abs(y_hat_mel - y_mel))}
+
+        return jax.jit(eval_fn)

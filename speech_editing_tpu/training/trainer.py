@@ -99,6 +99,8 @@ class Trainer:
     def _build_state(self, first_batch: dict):
         import jax
 
+        if getattr(self.task, "is_gan", False):
+            return self._build_gan_state(first_batch)
         tx = build_optimizer(self.hp)
         self.tx = tx
         self.loss_fn = self.task.make_loss_fn(self.model)
@@ -117,6 +119,26 @@ class Trainer:
         self.state = state
         n_params = sum(x.size for x in jax.tree.leaves(state.params))
         print(f"| model params: {n_params / 1e6:.3f}M | devices: {self.n_dev}")
+
+    def _build_gan_state(self, first_batch: dict):
+        """Two-TrainState GAN setup (vocoder): fused gen+disc step."""
+        import jax
+
+        disc = self.task.build_discriminators()
+        self.rng, init_rng = jax.random.split(self.rng)
+        state = self.task.init_gan_state(self.model, disc, first_batch, init_rng)
+        self.train_step = self.task.make_gan_train_step(self.model, disc,
+                                                        mesh=self.mesh)
+        self.eval_step = self.task.make_gan_eval_step(self.model, disc)
+        ckpt_path, steps = get_last_checkpoint(self.work_dir)
+        if ckpt_path is not None:
+            payload = load_checkpoint(ckpt_path)
+            state = restore_state(payload, state)
+            self.global_step = payload["steps"]
+            print(f"| loaded checkpoint {ckpt_path} (step {self.global_step})")
+        self.state = state
+        n_params = sum(x.size for x in jax.tree.leaves(state.gen_params))
+        print(f"| generator params: {n_params / 1e6:.3f}M | devices: {self.n_dev}")
 
     # -- train --------------------------------------------------------------
     def fit(self):
@@ -248,22 +270,27 @@ class Trainer:
             self.rng, sub = jax.random.split(self.rng)
             out = infer_fn(variables, batch, sub)
             mel_pred = np.asarray(out["mel_out"])
-            masks = np.asarray(raw["time_mel_masks"])
+            masks = (np.asarray(raw["time_mel_masks"])
+                     if "time_mel_masks" in raw else None)
+            wavs_out = (np.asarray(out["wav_out"])
+                        if "wav_out" in out else None)
+            mel_lens = raw.get("mel_lengths",
+                               [mel_pred.shape[1]] * mel_pred.shape[0])
             for b in range(mel_pred.shape[0]):
                 item_name = raw["item_name"][b]
-                t_len = int(raw["mel_lengths"][b])
+                t_len = int(mel_lens[b])
                 mel_p = mel_pred[b, :t_len]
                 mel_g = np.asarray(raw["mels"])[b, :t_len]
-                mask = masks[b, :t_len]
-                wav_p = vocoder.spec2wav(mel_p)
+                wav_p = (wavs_out[b] if wavs_out is not None
+                         else vocoder.spec2wav(mel_p))
                 wav_g = vocoder.spec2wav(mel_g)
                 save_wav(wav_p, f"{gen_dir}/wavs/[P]{item_name}.wav", sr)
                 if hp.get("save_gt", True):
                     save_wav(wav_g, f"{gen_dir}/wavs/[G]{item_name}.wav", sr)
                 # masked-region-only segments (reference
                 # speech_editing_base.py:171-182) for MCD/PESQ/STOI eval
-                seg = mask == 1
-                if seg.any():
+                seg = (masks[b, :t_len] == 1) if masks is not None else None
+                if seg is not None and seg.any():
                     wav_p_seg = vocoder.spec2wav(mel_p[seg])
                     wav_g_seg = vocoder.spec2wav(mel_g[seg])
                     save_wav(wav_p_seg, f"{gen_dir}/wavs/[P_SEG]{item_name}.wav", sr)
