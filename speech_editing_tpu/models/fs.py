@@ -128,8 +128,12 @@ class FastSpeech(nn.Module):
         dur = self.dur_predictor(dur_inp, src_padding, train=train)
         ret["dur"] = dur
         if use_pred_mel2ph:
+            # pure-TTS inference has no reference mel2ph: regulate to the
+            # static frame budget (XLA needs a fixed length; masks downstream)
+            max_frames = (mel2ph.shape[1] if mel2ph is not None
+                          else int(hp.get("max_frames", 1548)))
             mel2ph = jax.lax.stop_gradient(
-                length_regulator(dur, mel2ph.shape[1], src_padding))
+                length_regulator(dur, max_frames, src_padding))
         mel2ph = clip_mel2token_to_multiple(mel2ph, hp.get("frames_multiple", 1))
         ret["mel2ph"] = mel2ph
         return mel2ph
