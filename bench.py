@@ -23,7 +23,8 @@ def main():
     import jax.numpy as jnp
 
     from speech_editing_tpu.models.vocoder import HifiGanGenerator
-    from speech_editing_tpu.ops.mel import MelConfig, mel_spectrogram
+    from speech_editing_tpu.ops.mel import MelConfig
+    from speech_editing_tpu.ops.pallas.mel_kernel import mel_spectrogram_pallas as mel_spectrogram
     from speech_editing_tpu.training.tasks.spec_denoiser import build_model
     from __graft_entry__ import _flagship_hp
 
