@@ -213,6 +213,37 @@ class EditingDataset(BaseSpeechDataset):
         return batch
 
 
+class WordSpeechDataset(EditingDataset):
+    """Adds word-level fields (reference FastSpeechWordDataset,
+    tasks/tts/dataset_utils.py:149-184): word tokens, ph2word, mel2word."""
+
+    def __getitem__(self, index: int) -> dict:
+        sample = super().__getitem__(index)
+        item = self._get_item(index)
+        t = sample["mel"].shape[0]
+        sample["word_token"] = np.asarray(item["word_token"], np.int64)
+        sample["ph2word"] = np.asarray(
+            item["ph2word"][: len(sample["txt_token"])], np.int64)
+        if "mel2word" in item:
+            sample["mel2word"] = np.asarray(item["mel2word"], np.int64)[:t]
+        return sample
+
+    def collater(self, samples: list) -> dict:
+        batch = super().collater(samples)
+        if not samples:
+            return batch
+        sm = int(self.hp.get("frame_size_multiple", 1))
+        tok_m = int(self.hp.get("token_size_multiple", 1))
+        batch["word_tokens"] = collate_1d_or_2d(
+            [s["word_token"] for s in samples], 0, size_multiple=tok_m)
+        batch["ph2word"] = collate_1d_or_2d(
+            [s["ph2word"] for s in samples], 0, size_multiple=tok_m)
+        if "mel2word" in samples[0]:
+            batch["mel2word"] = collate_1d_or_2d(
+                [s["mel2word"] for s in samples], 0, size_multiple=sm)
+        return batch
+
+
 class DataLoader:
     """Token-bucketed batch iterator with background prefetch.
 

@@ -99,6 +99,22 @@ def mel2ph_to_mel2word(mel2ph: jax.Array, ph2word: jax.Array) -> jax.Array:
     return mel2word * (mel2ph > 0).astype(mel2word.dtype)
 
 
+def group_hidden_by_segs(h: jax.Array, seg_ids: jax.Array,
+                         max_len: int) -> tuple[jax.Array, jax.Array]:
+    """Mean-pool hidden states by segment id (1-based; 0 = padding).
+
+    h [B, T, H], seg_ids [B, T] -> (h_by_seg [B, max_len, H], counts
+    [B, max_len]). Parity: ``utils/nn/seq_utils.py:291-305``.
+    """
+    seg = seg_ids.astype(jnp.int32)
+    sums = jax.vmap(lambda s, v: jax.ops.segment_sum(
+        v, s, num_segments=max_len + 1))(seg, h)[:, 1:]
+    ones = jnp.ones(seg.shape, h.dtype)
+    cnts = jax.vmap(lambda s, v: jax.ops.segment_sum(
+        v, s, num_segments=max_len + 1))(seg, ones)[:, 1:]
+    return sums / jnp.maximum(cnts[..., None], 1.0), cnts
+
+
 def predictor_grad_scale(x: jax.Array, grad_scale: float) -> jax.Array:
     """Scale gradients flowing into a predictor branch (fs.py predictor_grad)."""
     if grad_scale == 1.0:

@@ -90,12 +90,18 @@ def synth_corpus_items(rng, n_items=8, n_mels=80, t_max=80, s_max=10):
         for j in range(s):
             mel2ph[bounds[j]:bounds[j + 1]] = j + 1
         f0 = rng.uniform(80, 300, t_len) * (rng.rand(t_len) > 0.2)
+        ph2word = (np.arange(s) // 2 + 1).astype(np.int64)  # 2 phones/word
+        n_words = int(ph2word.max())
+        mel2word = np.where(mel2ph > 0, (mel2ph - 1) // 2 + 1, 0)
         items.append({
             "item_name": f"item_{i}",
             "txt": "synthetic text",
             "ph_token": ph_token,
             "mel": (rng.randn(t_len, n_mels) * 0.5 - 2).astype(np.float32),
             "mel2ph": mel2ph,
+            "ph2word": ph2word,
+            "word_token": rng.randint(3, VOCAB, n_words).astype(np.int64),
+            "mel2word": mel2word.astype(np.int64),
             "f0": f0.astype(np.float32),
             "pitch": rng.randint(0, 256, t_len).astype(np.int64),
             "spk_embed": rng.randn(256).astype(np.float32),
