@@ -1,0 +1,120 @@
+"""Region-edit inference drivers for CampNet / A3T / EditSpeech.
+
+Parity surface: ``inference/tts/campnet.py`` / ``a3t.py`` /
+``editspeech.py`` — the same CSV driver skeleton as the FluentSpeech path
+but with in-place regeneration: these models keep the original frame grid
+and re-predict only the masked span (EditSpeech additionally runs the
+bidirectional fusion splice).
+
+The word-region -> frame-mask resolution reuses the FluentSpeech
+preprocessing (g2p + TextGrid/precomputed mel2ph + region parsing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from speech_editing_tpu.infer.spec_denoiser import SpecDenoiserInfer
+
+
+class _InPlaceEditInfer(SpecDenoiserInfer):
+    """Shared flow: frame mask over the edit region, same-length regen."""
+
+    def _frame_mask(self, item) -> np.ndarray:
+        w0, w1 = item["words_region"][0]
+        mel2word = item["mel2word"]
+        return ((mel2word >= w0) & (mel2word <= w1)).astype(np.float32)
+
+    def _model_mel_out(self, item, tm, spk_embed):
+        raise NotImplementedError
+
+    def forward_model(self, item):
+        tm = self._frame_mask(item)[:, None]  # [T, 1]
+        spk_embed = self.spk_embedder(item["wav"])[None]
+        mel_out = self._model_mel_out(item, tm, spk_embed)
+        mel_out = mel_out * tm + item["mel"] * (1 - tm)
+        wav_out = self.run_vocoder(mel_out)
+        wav_gt = self.run_vocoder(item["mel"])
+        masked_mel_gt = item["mel"] * tm
+        return wav_out, wav_gt, mel_out, item["mel"], mel_out * tm, masked_mel_gt
+
+
+class CampNetInfer(_InPlaceEditInfer):
+    def build_model(self):
+        import jax
+
+        from speech_editing_tpu.models.campnet import CampNet
+
+        model = CampNet(vocab_size=self.ph_encoder.vocab_size, hp=self.hp,
+                        out_dims=self.hp.get("audio_num_mel_bins", 80))
+        variables = self.load_variables()
+        self._infer = jax.jit(
+            lambda v, txt, mels, tm: model.apply(v, txt, mels, tm, infer=True))
+        return model, variables
+
+    def _model_mel_out(self, item, tm, spk_embed):
+        import jax.numpy as jnp
+
+        out = self._infer(self.variables,
+                          jnp.asarray(item["edited_ph_token"])[None],
+                          jnp.asarray(item["mel"])[None],
+                          jnp.asarray(tm)[None])
+        return np.asarray(out["mel_out_fine"])[0]
+
+
+class A3TInfer(_InPlaceEditInfer):
+    def build_model(self):
+        import jax
+
+        from speech_editing_tpu.models.a3t import A3T
+
+        model = A3T(vocab_size=self.ph_encoder.vocab_size, hp=self.hp,
+                    out_dims=self.hp.get("audio_num_mel_bins", 80))
+        variables = self.load_variables()
+        self._infer = jax.jit(
+            lambda v, txt, mels, m2p, tm: model.apply(
+                v, txt, mels, m2p, tm, infer=True))
+        return model, variables
+
+    def _model_mel_out(self, item, tm, spk_embed):
+        import jax.numpy as jnp
+
+        out = self._infer(self.variables,
+                          jnp.asarray(item["ph_token"])[None],
+                          jnp.asarray(item["mel"])[None],
+                          jnp.asarray(item["mel2ph"])[None],
+                          jnp.asarray(tm)[None])
+        return np.asarray(out["mel_out_postnet"])[0]
+
+
+class EditSpeechInfer(_InPlaceEditInfer):
+    def build_model(self):
+        import jax
+
+        from speech_editing_tpu.models.editspeech import EditSpeech
+
+        model = EditSpeech(vocab_size=self.ph_encoder.vocab_size, hp=self.hp,
+                           out_dims=self.hp.get("audio_num_mel_bins", 80))
+        variables = self.load_variables()
+        self._infer = jax.jit(
+            lambda v, txt, tm, m2p, spk, mels, f0, uv: model.apply(
+                v, txt, tm, m2p, spk, mels, f0, uv, infer=True))
+        return model, variables
+
+    def _model_mel_out(self, item, tm, spk_embed):
+        import jax.numpy as jnp
+
+        from speech_editing_tpu.models.editspeech import bidirectional_fusion
+
+        out = self._infer(self.variables,
+                          jnp.asarray(item["ph_token"])[None],
+                          jnp.asarray(tm)[None],
+                          jnp.asarray(item["mel2ph"])[None],
+                          jnp.asarray(spk_embed),
+                          jnp.asarray(item["mel"])[None],
+                          jnp.asarray(item["f0"])[None],
+                          jnp.asarray(item["uv"])[None])
+        fused = bidirectional_fusion(
+            out["forward_outputs"], out["backward_outputs"],
+            jnp.asarray(item["mel"])[None], jnp.asarray(tm)[None])
+        return np.asarray(fused)[0]

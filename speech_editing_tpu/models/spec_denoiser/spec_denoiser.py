@@ -93,7 +93,11 @@ class GaussianDiffusion(nn.Module):
         spk_embed [B,256]; ref_mels [B,T,80]; f0/uv [B,T]."""
         if rng is None:
             rng = self.make_rng("diffusion")
-        ret = self.fs(txt_tokens, time_mel_masks, mel2ph, spk_embed, f0, uv,
+        # ablation: spec_denoiser_normal drops the masked dur/pitch
+        # conditioning (reference spec_denoiser_normal.py) — the conditioner
+        # then behaves like plain FastSpeech
+        fs_masks = time_mel_masks if self.hp.get("use_masked_cond", True) else None
+        ret = self.fs(txt_tokens, fs_masks, mel2ph, spk_embed, f0, uv,
                       energy, skip_decoder=True, infer=infer,
                       use_pred_mel2ph=use_pred_mel2ph,
                       use_pred_pitch=use_pred_pitch, train=train)
