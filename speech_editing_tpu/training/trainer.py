@@ -56,6 +56,10 @@ class TensorBoardLogger:
             self.writer.add_audio(tag, torch.tensor(np.asarray(wav))[None],
                                   int(step), sample_rate=int(sr))
 
+    def add_figure(self, tag, fig, step):
+        if self.writer is not None:
+            self.writer.add_figure(tag, fig, int(step))
+
 
 class Trainer:
     def __init__(self, task, hp: Any, work_dir: Optional[str] = None):
@@ -73,6 +77,8 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.global_step = 0
         self.logger = TensorBoardLogger(os.path.join(self.work_dir, "tb_logs"))
+        self._infer_fn = None
+        self._val_vocoder = None
 
     # -- data ---------------------------------------------------------------
     def _loader(self, prefix: str, shuffle: bool, endless: bool = False,
@@ -140,11 +146,34 @@ class Trainer:
         n_params = sum(x.size for x in jax.tree.leaves(state.gen_params))
         print(f"| generator params: {n_params / 1e6:.3f}M | devices: {self.n_dev}")
 
+    def _start_logging(self):
+        """Terminal tee + source snapshot (reference trainer.py:538-559)."""
+        import shutil
+        import time as _time
+
+        hp = self.hp
+        ts = _time.strftime("%Y%m%d%H%M%S")
+        log_dir = os.path.join(self.work_dir, "terminal_logs")
+        os.makedirs(log_dir, exist_ok=True)
+        from speech_editing_tpu.utils.meters import Tee
+
+        self._tee = Tee(os.path.join(log_dir, f"log_{ts}.txt"))
+        if hp.get("save_codes"):
+            src = os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            dst = os.path.join(self.work_dir, "codes", ts)
+            shutil.copytree(os.path.join(src, "speech_editing_tpu"),
+                            os.path.join(dst, "speech_editing_tpu"),
+                            ignore=shutil.ignore_patterns("__pycache__"),
+                            dirs_exist_ok=True)
+            print(f"| source snapshot -> {dst}")
+
     # -- train --------------------------------------------------------------
     def fit(self):
         import jax
 
         hp = self.hp
+        self._start_logging()
         max_updates = int(hp.get("max_updates", 100000))
         val_interval = int(hp.get("val_check_interval", 2000))
         tb_interval = int(hp.get("tb_log_interval", 100))
@@ -206,9 +235,12 @@ class Trainer:
                               max_sentences_key="max_valid_sentences")
         totals: dict = {}
         n = 0
+        first_raw = None
         for i, raw in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
+            if first_raw is None:
+                first_raw = raw
             batch = self._device_batch(raw)
             self.rng, sub = jax.random.split(self.rng)
             metrics = self.eval_step(self.state.params, batch, sub)
@@ -224,7 +256,46 @@ class Trainer:
             print(f"| validation @ step {self.global_step}: {msg}")
             for k, v in means.items():
                 self.logger.add_scalar(f"val/{k}", v, self.global_step)
+            if first_raw is not None and int(hp.get("num_valid_plots", 0)) > 0:
+                try:
+                    self._log_valid_media(first_raw)
+                except Exception as e:  # plots must never kill training
+                    print(f"| WARN valid media logging failed: {e}")
         return val_loss
+
+    def _log_valid_media(self, raw: dict):
+        """Mel figure + vocoded audio for the first val item
+        (reference speech_base.py:259-281 / spec_denoiser.py plot_wav)."""
+        import jax
+        import jax.numpy as jnp
+
+        if getattr(self.task, "is_gan", False):
+            return
+        if self._infer_fn is None:
+            self._infer_fn = self.task.build_infer_fn(self.model)
+        keys = self.task.effective_batch_keys()
+        batch = {k: jnp.asarray(raw[k]) for k in keys if k in raw}
+        self.rng, sub = jax.random.split(self.rng)
+        out = self._infer_fn({"params": self.state.params}, batch, sub)
+        mel_pred = np.asarray(out["mel_out"])[0]
+        mel_gt = np.asarray(raw["mels"])[0]
+        from speech_editing_tpu.utils.plot import spec_to_figure
+
+        self.logger.add_figure(
+            f"mel_val_0", spec_to_figure(
+                np.concatenate([mel_gt, mel_pred], -1),
+                vmin=self.hp.get("mel_vmin", -6),
+                vmax=self.hp.get("mel_vmax", 1.5)), self.global_step)
+        if self.global_step > 0 and self.hp.get("valid_infer_interval"):
+            from speech_editing_tpu.infer.vocoder import get_vocoder_cls
+
+            if self._val_vocoder is None:
+                self._val_vocoder = get_vocoder_cls(
+                    self.hp.get("vocoder", "GriffinLim"))(self.hp)
+            sr = int(self.hp["audio_sample_rate"])
+            self.logger.add_audio("wav_val_0",
+                                  self._val_vocoder.spec2wav(mel_pred),
+                                  self.global_step, sr)
 
     # -- test / inference ---------------------------------------------------
     def test(self):
