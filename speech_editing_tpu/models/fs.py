@@ -60,6 +60,20 @@ class FastSpeech(nn.Module):
                 norm_type=hp.get("enc_dec_norm", "ln"),
                 layers_in_block=hp.get("layers_in_block", 2),
                 post_net_kernel=hp.get("enc_post_net_kernel", 3))
+        elif enc_type == "rel_fft":
+            from speech_editing_tpu.modules.rel_transformer import \
+                RelTransformerEncoder
+            self.encoder = RelTransformerEncoder(
+                self.vocab_size, h, hp["enc_layers"],
+                hp.get("enc_ffn_kernel_size", 3), hp["num_heads"],
+                dropout=hp.get("dropout", 0.0),
+                prenet=hp.get("enc_prenet", True))
+        elif enc_type == "tacotron":
+            from speech_editing_tpu.modules.rnn import TacotronEncoder
+            self.encoder = TacotronEncoder(self.vocab_size, h)
+        elif enc_type == "tacotron2":
+            from speech_editing_tpu.modules.rnn import RNNEncoder
+            self.encoder = RNNEncoder(self.vocab_size, h)
         else:
             raise NotImplementedError(f"encoder_type={enc_type}")
 
@@ -77,6 +91,9 @@ class FastSpeech(nn.Module):
         elif dec_type == "wn":
             self.decoder = WN(h, kernel_size=5, dilation_rate=1,
                               n_layers=hp["dec_layers"])
+        elif dec_type == "rnn":
+            from speech_editing_tpu.modules.rnn import DecoderRNN
+            self.decoder = DecoderRNN(h)
         else:
             raise NotImplementedError(f"decoder_type={dec_type}")
 
