@@ -108,6 +108,13 @@ class GaussianDiffusion(nn.Module):
             ref_mels * (1 - time_mel_masks)) * tgt_nonpadding
 
         b = txt_tokens.shape[0]
+        if self.hp.get("no_diffusion"):
+            # one-shot ablation (reference yq_wo_diff.py): the denoiser maps
+            # the conditioning straight to mel, no diffusion process
+            t0 = jnp.zeros((b,), jnp.int32)
+            x0 = jnp.zeros((b, cond.shape[1], self.out_dims), jnp.float32)
+            ret["mel_out"] = self.denoise_fn(x0, t0, cond) * tgt_nonpadding
+            return ret
         if not infer:
             k_t, k_noise = jax.random.split(rng)
             t = jax.random.randint(k_t, (b,), 0, self.sched.num_timesteps + 1)
