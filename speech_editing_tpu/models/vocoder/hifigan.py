@@ -111,7 +111,9 @@ class HifiGanGenerator(nn.Module):
                 y = res_cls(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / len(res_ks)
-        x = _lrelu(x)
+        # the reference's final activation is torch's default slope (0.01),
+        # not LRELU_SLOPE (hifigan.py:139) — kept for checkpoint parity
+        x = nn.leaky_relu(x, 0.01)
         x = nn.Conv(self.c_out, (7,), padding="SAME", kernel_init=_conv_init,
                     name="conv_post")(x)
         x = jnp.tanh(x)
