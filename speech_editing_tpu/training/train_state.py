@@ -67,6 +67,37 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_accum_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
+                          mesh: Optional[Mesh] = None,
+                          data_axis: str = "data"):
+    """Gradient accumulation: jitted grad_fn per microbatch + jitted apply.
+
+    Replaces the reference's accumulation boundary logic
+    (``trainer.py:366-374``): the host loop sums grads over
+    ``accumulate_grad_batches`` microbatches (any shapes), then one apply
+    updates the state with the mean gradient.
+    """
+
+    def grad_fn(params, batch, rng):
+        if mesh is not None:
+            batch = jax.lax.with_sharding_constraint(
+                batch, NamedSharding(mesh, P(data_axis)))
+        (total, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, rng)
+        metrics = dict(metrics)
+        metrics["total_loss"] = total
+        return grads, metrics
+
+    def apply_fn(state: TrainState, grads_sum, n_micro):
+        grads = jax.tree.map(lambda g: g / n_micro, grads_sum)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state)
+
+    return jax.jit(grad_fn), jax.jit(apply_fn, donate_argnums=(0, 1))
+
+
 def make_eval_step(loss_fn: LossFn, mesh: Optional[Mesh] = None,
                    data_axis: str = "data") -> Callable:
     def step_fn(params, batch, rng):

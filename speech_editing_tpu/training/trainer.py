@@ -188,16 +188,36 @@ class Trainer:
         if num_sanity > 0:
             self.validate(max_batches=num_sanity, log=False)
 
+        use_accum = accum > 1 and not getattr(self.task, "is_gan", False)
+        if use_accum:
+            from speech_editing_tpu.training.train_state import \
+                make_accum_train_step
+
+            grad_fn, apply_fn = make_accum_train_step(
+                self.loss_fn, self.tx, mesh=self.mesh)
+
         t0 = time.time()
         pending = first
         while self.global_step < max_updates:
-            metrics_acc = None
-            for _ in range(accum):
-                batch = pending if pending is not None else self._device_batch(next(it))
+            if use_accum:
+                # true accumulation: mean gradient over microbatches,
+                # ONE optimizer update (reference trainer.py:366-374)
+                grads_sum, metrics_acc = None, None
+                for _ in range(accum):
+                    batch = (pending if pending is not None
+                             else self._device_batch(next(it)))
+                    pending = None
+                    self.rng, sub = jax.random.split(self.rng)
+                    grads, metrics_acc = grad_fn(self.state.params, batch, sub)
+                    grads_sum = grads if grads_sum is None else jax.tree.map(
+                        jax.numpy.add, grads_sum, grads)
+                self.state = apply_fn(self.state, grads_sum, float(accum))
+            else:
+                batch = (pending if pending is not None
+                         else self._device_batch(next(it)))
                 pending = None
                 self.rng, sub = jax.random.split(self.rng)
-                self.state, metrics = self.train_step(self.state, batch, sub)
-                metrics_acc = metrics
+                self.state, metrics_acc = self.train_step(self.state, batch, sub)
             self.global_step += 1
 
             if self.global_step % tb_interval == 0:
