@@ -45,6 +45,9 @@ def main():
     s_txt = 48
     model = build_model(vocab, hp)
 
+    # NOTE: every array the jitted edit touches is passed as an ARGUMENT.
+    # Device arrays captured in jit closures poison the whole process on
+    # this backend (~25ms added to EVERY subsequent dispatch) — see CLAUDE.md.
     txt = jnp.asarray(rs.randint(1, vocab, (1, s_txt)), jnp.int32)
     mel2ph = jnp.asarray(
         np.clip(np.sort(rs.randint(1, s_txt + 1, (1, T))), 1, s_txt), jnp.int32)
@@ -62,13 +65,13 @@ def main():
     voc = HifiGanGenerator(hp=vhp)
 
     mel0 = mel_spectrogram(wav_j, cfg)[:, :T]
-    variables = model.init(
+    variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
         txt, mask, mel2ph, None, mel0, f0, uv)
-    vparams = voc.init(jax.random.PRNGKey(2), mel0)
+    vparams = jax.jit(voc.init)(jax.random.PRNGKey(2), mel0)
 
     @jax.jit
-    def edit(params, vps, wav_in, rng):
+    def edit(params, vps, wav_in, txt, mask, mel2ph, f0, uv, rng):
         mel = mel_spectrogram(wav_in, cfg)[:, :T]
         out = model.apply(params, txt, mask, mel2ph, None, mel, f0, uv,
                           infer=True, rng=rng)
@@ -76,15 +79,16 @@ def main():
         return voc.apply(vps, comp)
 
     rng = jax.random.PRNGKey(3)
+    args = (variables, vparams, wav_j, txt, mask, mel2ph, f0, uv)
     # warmup / compile
-    edit(variables, vparams, wav_j, rng).block_until_ready()
-    edit(variables, vparams, wav_j, rng).block_until_ready()
+    edit(*args, rng).block_until_ready()
+    edit(*args, rng).block_until_ready()
 
     times = []
     for i in range(10):
         rng, sub = jax.random.split(rng)
         t0 = time.perf_counter()
-        edit(variables, vparams, wav_j, sub).block_until_ready()
+        edit(*args, sub).block_until_ready()
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
     rtf = med / dur_s

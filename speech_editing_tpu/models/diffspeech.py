@@ -55,8 +55,8 @@ class DiffSpeech(nn.Module):
 
     def _eps_to_x0(self, x_t, eps, t):
         s = self.sched
-        sqrt_ac = s.sqrt_alphas_cumprod[t].reshape(-1, 1, 1)
-        sqrt_om = s.sqrt_one_minus_alphas_cumprod[t].reshape(-1, 1, 1)
+        sqrt_ac = jnp.asarray(s.sqrt_alphas_cumprod)[t].reshape(-1, 1, 1)
+        sqrt_om = jnp.asarray(s.sqrt_one_minus_alphas_cumprod)[t].reshape(-1, 1, 1)
         return (x_t - sqrt_om * eps) / jnp.maximum(sqrt_ac, 1e-8)
 
     def denoise(self, x_t, t, cond):

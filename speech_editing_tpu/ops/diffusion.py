@@ -89,7 +89,10 @@ class DiffusionSchedule:
         ac = np.cumprod(alphas)
         ac_prev = np.append(1.0, ac[:-1])
         post_var = betas * (1.0 - ac_prev) / (1.0 - ac)
-        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        # buffers stay HOST numpy: closing over device arrays in a jitted
+        # sampler permanently degrades dispatch on the axon backend (they
+        # become trace-time constants either way; see CLAUDE.md)
+        f32 = lambda x: np.asarray(x, np.float32)
         return cls(
             betas=f32(betas),
             alphas_cumprod=f32(ac),
@@ -103,9 +106,9 @@ class DiffusionSchedule:
         )
 
 
-def _bcast(buf: jax.Array, t: jax.Array, ndim: int) -> jax.Array:
+def _bcast(buf, t: jax.Array, ndim: int) -> jax.Array:
     """buf[t] reshaped to broadcast over an ndim tensor with leading batch."""
-    return buf[t].reshape(t.shape[0], *([1] * (ndim - 1)))
+    return jnp.asarray(buf)[t].reshape(t.shape[0], *([1] * (ndim - 1)))
 
 
 def q_sample(sched: DiffusionSchedule, x_start: jax.Array, t: jax.Array,

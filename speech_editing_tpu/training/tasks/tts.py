@@ -171,12 +171,14 @@ class DiffSpeechTask(FastSpeechTask):
             max_beta=hp.get("max_beta", 0.06))
         out_dims = hp.get("audio_num_mel_bins", 80)
         import numpy as np
-        spec_min = jnp.asarray(
+        # host numpy (NOT device arrays): these are closed over by the
+        # jitted sampler — device-array closures poison dispatch (CLAUDE.md)
+        spec_min = np.asarray(
             (np.asarray(hp.get("spec_min") or [-6.0] * out_dims))[:out_dims],
-            jnp.float32)
-        spec_max = jnp.asarray(
+            np.float32)
+        spec_max = np.asarray(
             (np.asarray(hp.get("spec_max") or [1.5] * out_dims))[:out_dims],
-            jnp.float32)
+            np.float32)
 
         def infer_fn(variables, batch, rng):
             ret = model.apply(
@@ -189,8 +191,8 @@ class DiffSpeechTask(FastSpeechTask):
             def denoise_x0(x_t, t, c):
                 eps = model.apply(variables, x_t, t, c,
                                   method=DiffSpeech.denoise)
-                sqrt_ac = sched.sqrt_alphas_cumprod[t].reshape(-1, 1, 1)
-                sqrt_om = sched.sqrt_one_minus_alphas_cumprod[t].reshape(-1, 1, 1)
+                sqrt_ac = jnp.asarray(sched.sqrt_alphas_cumprod)[t].reshape(-1, 1, 1)
+                sqrt_om = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod)[t].reshape(-1, 1, 1)
                 return jnp.clip((x_t - sqrt_om * eps)
                                 / jnp.maximum(sqrt_ac, 1e-8), -1, 1)
 
