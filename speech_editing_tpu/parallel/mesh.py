@@ -24,6 +24,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host bring-up (replaces the reference's mp.spawn + NCCL
+    process-group init, trainer.py:474-495): each host calls this once, then
+    ``make_mesh`` sees the global device set; batch sharding over the mesh
+    covers ICI within a slice and DCN across slices automatically."""
+    import jax
+
+    kw = {}
+    if coordinator_address is not None:
+        kw = dict(coordinator_address=coordinator_address,
+                  num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kw)
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axes: Optional[dict[str, int]] = None) -> Mesh:
     """Build a mesh; default 1-D over all (or the first n) devices."""

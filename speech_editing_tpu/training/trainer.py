@@ -368,6 +368,8 @@ class Trainer:
             mel_lens = raw.get("mel_lengths",
                                [mel_pred.shape[1]] * mel_pred.shape[0])
             for b in range(mel_pred.shape[0]):
+                if n_done >= test_num:
+                    break
                 item_name = raw["item_name"][b]
                 t_len = int(mel_lens[b])
                 mel_p = mel_pred[b, :t_len]
