@@ -35,15 +35,42 @@ class TrainState:
                    opt_state=tx.init(params))
 
 
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
+
+def bf16_wrap(loss_fn: LossFn) -> LossFn:
+    """Mixed precision: fp32 master params, bf16 forward/backward compute.
+
+    The cast's transpose returns fp32 gradients automatically; no loss
+    scaling is needed on TPU (bf16 keeps fp32's exponent range).
+    """
+
+    def wrapped(params, batch, rng):
+        total, metrics = loss_fn(_cast_floats(params, jnp.bfloat16),
+                                 _cast_floats(batch, jnp.bfloat16), rng)
+        return total.astype(jnp.float32), metrics
+
+    return wrapped
+
+
 def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
-                    data_axis: str = "data") -> Callable:
+                    data_axis: str = "data",
+                    use_bf16: bool = False) -> Callable:
     """Build ``train_step(state, batch, rng) -> (state, metrics)`` (jitted).
 
     With a mesh, the batch is constrained to be sharded over ``data_axis``
     and state replicated; grad accumulation (if desired) wraps this step in
     a host loop or ``lax.scan`` over microbatches at the task layer.
+    ``use_bf16`` runs forward/backward in bfloat16 against fp32 master
+    params (the reference's AMP equivalent, trainer.py:109-110,325).
     """
+    if use_bf16:
+        loss_fn = bf16_wrap(loss_fn)
 
     def step_fn(state: TrainState, batch, rng):
         if mesh is not None:

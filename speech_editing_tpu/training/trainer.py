@@ -110,7 +110,9 @@ class Trainer:
         tx = build_optimizer(self.hp)
         self.tx = tx
         self.loss_fn = self.task.make_loss_fn(self.model)
-        self.train_step = make_train_step(self.loss_fn, tx, mesh=self.mesh)
+        self.train_step = make_train_step(
+            self.loss_fn, tx, mesh=self.mesh,
+            use_bf16=bool(self.hp.get("use_bf16", False)))
         self.eval_step = make_eval_step(self.loss_fn, mesh=self.mesh)
 
         ckpt_path, steps = get_last_checkpoint(self.work_dir)
