@@ -244,6 +244,9 @@ class Trainer:
         save_checkpoint(self.work_dir, self.state, self.global_step,
                         num_ckpt_keep=int(hp.get("num_ckpt_keep", 3)))
         print(f"| training done at step {self.global_step}")
+        if getattr(self, "_tee", None) is not None:
+            self._tee.close()
+            self._tee = None
 
     # -- validation ---------------------------------------------------------
     def validate(self, max_batches: Optional[int] = None, log: bool = True):
