@@ -66,7 +66,10 @@ class StutterSpeechTask(BaseTask):
                 pitch_loss(losses, out["pitch_pred"], batch["f0"],
                            batch["uv"], batch["mel2ph"], hp)
             sp_out = out["stutter_predictor_out"]
-            losses["ce"] = cross_entropy_loss(sp_out, labels) * 8e-3
+            # annealed CE weight (reference stutter_speech.py:99-106)
+            step = batch.get("global_step", jnp.asarray(0.0))
+            ce_w = 8e-3 + 5e-3 * (step + 1.0) / 100000.0
+            losses["ce"] = cross_entropy_loss(sp_out, labels) * ce_w
             losses["focal"] = multi_focal_loss(sp_out, labels)
             return sum(losses.values()), losses
 
@@ -121,8 +124,12 @@ class StutterPredictorTask(BaseTask):
                               batch["mels"], batch["mel2ph"], train=True,
                               rngs={"dropout": rng})
             logits = out["logits"]
+            # decaying CE weight min(1e-2, 1e-2*6000/step)
+            # (reference stutter_predictor.py:131-134)
+            step = batch.get("global_step", jnp.asarray(1.0))
+            ce_w = jnp.minimum(1e-2, 1e-2 * 6000.0 / jnp.maximum(step, 1.0))
             losses = {
-                "ce": cross_entropy_loss(logits, labels) * 1e-2,
+                "ce": cross_entropy_loss(logits, labels) * ce_w,
                 "focal": multi_focal_loss(logits, labels),
             }
             # val metrics (cheap; computed in the same program)

@@ -76,6 +76,8 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
         if mesh is not None:
             batch = jax.lax.with_sharding_constraint(
                 batch, NamedSharding(mesh, P(data_axis)))
+        # step counter visible to losses (KL warmup / CE annealing)
+        batch = dict(batch, global_step=state.step.astype(jnp.float32))
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (total, metrics), grads = grad_fn(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

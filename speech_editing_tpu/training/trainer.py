@@ -200,6 +200,30 @@ class Trainer:
 
         t0 = time.time()
         pending = first
+        try:
+            self._train_loop(it, pending, max_updates, val_interval,
+                             tb_interval, accum, use_accum,
+                             locals().get("grad_fn"), locals().get("apply_fn"),
+                             t0)
+        except KeyboardInterrupt:
+            # save before exiting (reference base_task.py:231 hook)
+            print("| KeyboardInterrupt: saving checkpoint before exit")
+            save_checkpoint(self.work_dir, self.state, self.global_step,
+                            num_ckpt_keep=int(hp.get("num_ckpt_keep", 3)))
+            raise
+        # final checkpoint
+        save_checkpoint(self.work_dir, self.state, self.global_step,
+                        num_ckpt_keep=int(hp.get("num_ckpt_keep", 3)))
+        print(f"| training done at step {self.global_step}")
+        if getattr(self, "_tee", None) is not None:
+            self._tee.close()
+            self._tee = None
+
+    def _train_loop(self, it, pending, max_updates, val_interval,
+                    tb_interval, accum, use_accum, grad_fn, apply_fn, t0):
+        import jax
+
+        hp = self.hp
         while self.global_step < max_updates:
             if use_accum:
                 # true accumulation: mean gradient over microbatches,
@@ -240,13 +264,6 @@ class Trainer:
                     val_loss=val_loss,
                     num_ckpt_keep=int(hp.get("num_ckpt_keep", 3)),
                     save_best=bool(hp.get("save_best", False)))
-        # final checkpoint
-        save_checkpoint(self.work_dir, self.state, self.global_step,
-                        num_ckpt_keep=int(hp.get("num_ckpt_keep", 3)))
-        print(f"| training done at step {self.global_step}")
-        if getattr(self, "_tee", None) is not None:
-            self._tee.close()
-            self._tee = None
 
     # -- validation ---------------------------------------------------------
     def validate(self, max_batches: Optional[int] = None, log: bool = True):
@@ -395,5 +412,15 @@ class Trainer:
                     save_wav(wav_g_seg, f"{gen_dir}/wavs/[G_SEG]{item_name}.wav", sr)
                 np.save(f"{gen_dir}/wavs/[P]{item_name}_mel.npy", mel_p)
                 n_done += 1
+        # meta.csv index of generated items (reference speech_base.py:377)
+        import csv as _csv
+
+        metas = sorted(f[3:-8] for f in os.listdir(f"{gen_dir}/wavs")
+                       if f.startswith("[P]") and f.endswith("_mel.npy"))
+        with open(f"{gen_dir}/meta.csv", "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["item_name", "wav_fn_pred", "wav_fn_gt"])
+            for name in metas:
+                w.writerow([name, f"wavs/[P]{name}.wav", f"wavs/[G]{name}.wav"])
         print(f"| test done: {n_done} items -> {gen_dir}")
         return gen_dir
