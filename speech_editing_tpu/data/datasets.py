@@ -213,6 +213,31 @@ class EditingDataset(BaseSpeechDataset):
         return batch
 
 
+class ConcatDataset(BaseDataset):
+    """Concatenation of datasets sharing a collater (reference
+    BaseConcatDataset, dataset_utils.py:218-246) — backs the multi-corpus
+    ``train_sets`` option."""
+
+    def __init__(self, datasets: list):
+        assert datasets
+        super().__init__(datasets[0].hp, datasets[0].shuffle)
+        self.datasets = datasets
+        self.sizes = [s for d in datasets for s in d.sizes]
+        self._offsets = np.cumsum([0] + [len(d) for d in datasets])
+
+    def set_epoch(self, epoch: int):
+        super().set_epoch(epoch)
+        for d in self.datasets:
+            d.set_epoch(epoch)
+
+    def __getitem__(self, index: int) -> dict:
+        ds_idx = int(np.searchsorted(self._offsets, index, side="right") - 1)
+        return self.datasets[ds_idx][index - self._offsets[ds_idx]]
+
+    def collater(self, samples: list) -> dict:
+        return self.datasets[0].collater(samples)
+
+
 class WordSpeechDataset(EditingDataset):
     """Adds word-level fields (reference FastSpeechWordDataset,
     tasks/tts/dataset_utils.py:149-184): word tokens, ph2word, mel2word."""
