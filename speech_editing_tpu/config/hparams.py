@@ -211,6 +211,12 @@ def set_hparams(
     work_dir = ""
     if args.exp_name:
         work_dir = os.path.join(cfg.get("work_dir_root", "checkpoints"), args.exp_name)
+        if args.remove and os.path.exists(work_dir):
+            # reference --remove: wipe the experiment dir before starting
+            import shutil
+
+            print(f"| removing work dir {work_dir}")
+            shutil.rmtree(work_dir)
         saved_cfg_fn = os.path.join(work_dir, "config.yaml")
         if os.path.exists(saved_cfg_fn) and not args.reset:
             with open(saved_cfg_fn) as f:

@@ -114,6 +114,8 @@ class BaseTask:
         trainer = Trainer(task, hp)
         if hp.get("infer"):
             trainer.test()
+        elif hp.get("validate"):
+            trainer.validate_only()
         else:
             trainer.fit()
         return trainer

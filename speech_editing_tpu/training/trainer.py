@@ -265,6 +265,19 @@ class Trainer:
                     num_ckpt_keep=int(hp.get("num_ckpt_keep", 3)),
                     save_best=bool(hp.get("save_best", False)))
 
+    def validate_only(self):
+        """--validate: restore the last checkpoint and run one validation."""
+        loader = self._loader("valid", shuffle=False,
+                              max_sentences_key="max_valid_sentences")
+        first = None
+        for first in loader:
+            break
+        if first is None:
+            print("| empty valid set")
+            return None
+        self._build_state(self._device_batch(first))
+        return self.validate()
+
     # -- validation ---------------------------------------------------------
     def validate(self, max_batches: Optional[int] = None, log: bool = True):
         import jax
