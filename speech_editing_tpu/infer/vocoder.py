@@ -75,9 +75,13 @@ class HifiGAN(BaseVocoder):
                 vhp = yaml.safe_load(f)
             payload = load_checkpoint(ckpt_path)
             state = payload["state"]
-            params = state.params if hasattr(state, "params") else state["params"]
-            if "model_gen" in params:  # GAN TrainState stores gen under model_gen
-                params = params["model_gen"]
+            if hasattr(state, "gen_params"):  # GanTrainState checkpoint
+                params = state.gen_params
+            else:
+                params = (state.params if hasattr(state, "params")
+                          else state["params"])
+                if "gen" in params and "disc" in params:
+                    params = params["gen"]
             gen = HifiGanGenerator(hp=vhp)
             apply_jit = jax.jit(lambda p, m: gen.apply({"params": p}, m))
 
