@@ -20,6 +20,12 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: repeated bench runs skip the multi-minute
+    # cold compile of the fused edit program
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from speech_editing_tpu.models.vocoder import HifiGanGenerator
