@@ -90,6 +90,32 @@ def convert_hifigan_generator(state_dict: Dict[str, np.ndarray],
     return params
 
 
+def convert_diffnet(state_dict: Dict[str, np.ndarray],
+                    residual_layers: int, prefix: str = "") -> dict:
+    """Reference DiffNet state_dict
+    (``modules/speech_editing/spec_denoiser/diffnet.py:84-130``) -> flax
+    params for ``modules.wavenet.DiffNet``. ``prefix`` selects a sub-model
+    inside a larger checkpoint (e.g. ``denoise_fn.``)."""
+    sd = {k[len(prefix):]: np.asarray(v) for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    params: dict = {
+        "input_projection": torch_conv1d(sd, "input_projection"),
+        "mlp_1": torch_linear(sd, "mlp.0"),
+        "mlp_2": torch_linear(sd, "mlp.2"),
+        "skip_projection": torch_conv1d(sd, "skip_projection"),
+        "output_projection": torch_conv1d(sd, "output_projection"),
+    }
+    for i in range(residual_layers):
+        p = f"residual_layers.{i}"
+        params[f"residual_{i}"] = {
+            "dilated_conv": torch_conv1d(sd, f"{p}.dilated_conv"),
+            "diffusion_projection": torch_linear(sd, f"{p}.diffusion_projection"),
+            "conditioner_projection": torch_conv1d(sd, f"{p}.conditioner_projection"),
+            "output_projection": torch_conv1d(sd, f"{p}.output_projection"),
+        }
+    return params
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a torch .ckpt/.pt file to a flat numpy state dict (handles the
     reference trainer's {'state_dict': {'model_gen': ...}} nesting)."""

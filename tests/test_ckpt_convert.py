@@ -64,3 +64,52 @@ def test_hifigan_torch_to_flax_parity(resblock):
     assert wav.shape == ref_wav.shape
     err = np.abs(wav - ref_wav).max()
     assert err < 2e-3, f"activation mismatch: max abs err {err}"
+
+
+def test_diffnet_torch_to_flax_parity():
+    """The flagship denoiser matches the reference torch DiffNet
+    activation-for-activation with converted weights."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, REF)
+    try:
+        import utils.commons.hparams as ref_hparams  # type: ignore
+
+        ref_hparams.hparams.update(hidden_size=64, residual_layers=4,
+                                   residual_channels=64,
+                                   dilation_cycle_length=1)
+        from modules.speech_editing.spec_denoiser.diffnet import \
+            DiffNet as RefDiffNet  # type: ignore
+    except Exception as e:
+        pytest.skip(f"reference import failed: {e}")
+    finally:
+        sys.path.remove(REF)
+
+    import jax.numpy as jnp
+
+    from speech_editing_tpu.modules.wavenet import DiffNet
+    from speech_editing_tpu.utils.convert_torch_ckpt import convert_diffnet
+
+    torch.manual_seed(0)
+    ref = RefDiffNet(in_dims=80)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_diffnet(sd, residual_layers=4)
+
+    rs = np.random.RandomState(0)
+    b, t = 2, 24
+    x = rs.randn(b, t, 80).astype(np.float32) * 0.5       # ours: [B, T, M]
+    cond = rs.randn(b, t, 64).astype(np.float32)          # ours: [B, T, H]
+    steps = np.array([3, 7], np.int64)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x.transpose(0, 2, 1))[:, None],  # [B,1,M,T]
+                      torch.tensor(steps),
+                      torch.tensor(cond.transpose(0, 2, 1)))        # [B,H,T]
+    ref_out = ref_out.numpy()[:, 0].transpose(0, 2, 1)              # [B,T,M]
+
+    net = DiffNet(in_dims=80, encoder_hidden=64, residual_layers=4,
+                  residual_channels=64, dilation_cycle_length=1)
+    out = np.asarray(net.apply({"params": params}, jnp.asarray(x),
+                               jnp.asarray(steps), jnp.asarray(cond)))
+    assert out.shape == ref_out.shape
+    err = np.abs(out - ref_out).max()
+    assert err < 2e-3, f"DiffNet activation mismatch: {err}"
