@@ -116,6 +116,37 @@ def convert_diffnet(state_dict: Dict[str, np.ndarray],
     return params
 
 
+def torch_layernorm(sd, prefix) -> dict:
+    return {"scale": np.asarray(sd[f"{prefix}.weight"], np.float32),
+            "bias": np.asarray(sd[f"{prefix}.bias"], np.float32)}
+
+
+def torch_embedding(sd, prefix) -> dict:
+    return {"embedding": np.asarray(sd[f"{prefix}.weight"], np.float32)}
+
+
+def convert_mel_encoder(sd, prefix: str = "") -> dict:
+    """Reference MelEncoder (speech_editing/commons/mel_encoder.py) ->
+    modules.predictors.MelEncoder."""
+    p = prefix
+    return {"fc1": torch_linear(sd, f"{p}encoder.0"),
+            "fc2": torch_linear(sd, f"{p}encoder.2"),
+            "fc_out": torch_linear(sd, f"{p}fc_out")}
+
+
+def convert_predictor(sd, n_layers: int, prefix: str = "") -> dict:
+    """Reference Duration/Pitch/EnergyPredictor (nar_tts_modules.py) ->
+    modules.predictors.* (conv_{i}/ln_{i}/linear naming)."""
+    out: dict = {}
+    for i in range(n_layers):
+        out[f"conv_{i}"] = torch_conv1d(sd, f"{prefix}conv.{i}.0")
+        out[f"ln_{i}"] = torch_layernorm(sd, f"{prefix}conv.{i}.2")
+    lin_key = f"{prefix}linear.0.weight"
+    out["linear"] = torch_linear(
+        sd, f"{prefix}linear.0" if lin_key in sd else f"{prefix}linear")
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a torch .ckpt/.pt file to a flat numpy state dict (handles the
     reference trainer's {'state_dict': {'model_gen': ...}} nesting)."""

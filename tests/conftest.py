@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+if not os.environ.get("SET_TPU_TESTS"):
+    # config-level forcing: platform plugins (axon) can override the
+    # JAX_PLATFORMS env var, so the env setting above is not sufficient
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent compile cache: CPU compiles of the diffusion/transformer graphs
 # take tens of seconds; cache them across test runs/processes.
 jax.config.update("jax_compilation_cache_dir",

@@ -113,3 +113,64 @@ def test_diffnet_torch_to_flax_parity():
     assert out.shape == ref_out.shape
     err = np.abs(out - ref_out).max()
     assert err < 2e-3, f"DiffNet activation mismatch: {err}"
+
+
+def test_mel_encoder_and_predictors_parity():
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, REF)
+    try:
+        from modules.speech_editing.commons.mel_encoder import \
+            MelEncoder as RefMelEnc  # type: ignore
+        from modules.commons.nar_tts_modules import (  # type: ignore
+            DurationPredictor as RefDur, PitchPredictor as RefPitch)
+    except Exception as e:
+        pytest.skip(f"reference import failed: {e}")
+    finally:
+        sys.path.remove(REF)
+
+    import jax.numpy as jnp
+
+    from speech_editing_tpu.modules.predictors import (DurationPredictor,
+                                                       MelEncoder,
+                                                       PitchPredictor)
+    from speech_editing_tpu.utils.convert_torch_ckpt import (
+        convert_mel_encoder, convert_predictor)
+
+    rs = np.random.RandomState(0)
+    torch.manual_seed(0)
+
+    # MelEncoder
+    ref = RefMelEnc(input_dim=80, hidden_size=48).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    mel = rs.randn(2, 20, 80).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(mel)).numpy()
+    ours = np.asarray(MelEncoder(hidden_size=48).apply(
+        {"params": convert_mel_encoder(sd)}, jnp.asarray(mel)))
+    assert np.abs(ours - ref_out).max() < 2e-3
+
+    # DurationPredictor (eval mode -> dropout off)
+    ref_d = RefDur(idim=48, n_layers=3, n_chans=48, kernel_size=3).eval()
+    sd = {k: v.detach().numpy() for k, v in ref_d.state_dict().items()}
+    x = rs.randn(2, 20, 48).astype(np.float32)
+    pad = np.zeros((2, 20), bool)
+    pad[1, 15:] = True
+    with torch.no_grad():
+        ref_out = ref_d(torch.tensor(x), torch.tensor(pad)).numpy()
+    ours = np.asarray(DurationPredictor(
+        n_chans=48, n_layers=3, kernel_size=3, dropout_rate=0.1).apply(
+        {"params": convert_predictor(sd, 3)}, jnp.asarray(x), jnp.asarray(pad)))
+    # TPU bf16 matmuls + LayerNorm eps mismatch: ~0.5% relative
+    assert np.abs(ours - ref_out).max() < 1e-2
+
+    # PitchPredictor
+    ref_p = RefPitch(idim=48, n_layers=2, n_chans=48, odim=2,
+                     kernel_size=5).eval()
+    sd = {k: v.detach().numpy() for k, v in ref_p.state_dict().items()}
+    with torch.no_grad():
+        ref_out = ref_p(torch.tensor(x)).numpy()
+    ours = np.asarray(PitchPredictor(
+        n_chans=48, n_layers=2, odim=2, kernel_size=5,
+        dropout_rate=0.1).apply(
+        {"params": convert_predictor(sd, 2)}, jnp.asarray(x)))
+    assert np.abs(ours - ref_out).max() < 1e-2
