@@ -86,3 +86,54 @@ def test_spec_figure():
                          dur_info={"dur_gt": [10, 20, 20], "txt": ["a", "b", "c"]})
     img = figure_to_image(fig)
     assert img.ndim == 3 and img.shape[2] == 3
+
+
+def test_batch_tools_freqt_and_mcep():
+    from speech_editing_tpu.evals.batch_tools import (best_mcep_params, freqt,
+                                                      mcep_from_wav)
+
+    c = np.array([1.0, 0.5, 0.25, 0.125])
+    # alpha=0 => identity (truncate/zero-pad to order+1)
+    assert np.allclose(freqt(c, 3, 0.0), c)
+    assert np.allclose(freqt(c, 5, 0.0), np.pad(c, (0, 2)))
+    order, alpha = best_mcep_params(22050)
+    m = mcep_from_wav(_tone(220, dur=0.5), 22050)
+    assert m.shape[1] == order + 1
+    assert np.all(np.isfinite(m))
+    # a tone's mcep should differ from white noise's
+    noise = np.random.RandomState(0).randn(11025).astype(np.float32) * 0.1
+    m2 = mcep_from_wav(noise, 22050)
+    t = min(len(m), len(m2))
+    assert np.abs(m[:t, 1:] - m2[:t, 1:]).mean() > 0.01
+
+
+def test_batch_tools_clis(tmp_path):
+    from speech_editing_tpu.evals.batch_tools import (cal_mcd_sptk,
+                                                      cal_mcd_sptk_batch,
+                                                      meta_csv_stats,
+                                                      pitch_comparison_batch,
+                                                      separate_wavs)
+
+    wavs = tmp_path / "wavs"
+    wavs.mkdir()
+    gt = _tone(220, dur=0.6)
+    pred = _tone(225, dur=0.6, noise=0.02)
+    save_wav(gt, str(wavs / "[G_SEG]item0.wav"), 22050)
+    save_wav(pred, str(wavs / "[P_SEG]item0.wav"), 22050)
+    save_wav(gt, str(wavs / "[G]item0.wav"), 22050)
+    save_wav(pred, str(wavs / "[P]item0.wav"), 22050)
+    pat = str(wavs / "*")
+    # identical pair -> ~0 MCD; perturbed pair -> small positive
+    assert cal_mcd_sptk((str(wavs / "[G_SEG]item0.wav"),) * 2) < 1e-6
+    assert cal_mcd_sptk_batch(pat) > 0
+    assert pitch_comparison_batch(pat) >= 0
+    meta = tmp_path / "meta.csv"
+    meta.write_text("item_name,dur_loss,wav_fn\nitem0,0.5,a.wav\nitem1,0.7,b.wav\n")
+    stats = meta_csv_stats(str(meta))
+    assert stats["dur_loss"] == pytest.approx(0.6)
+    assert "wav_fn" not in stats and "item_name" not in stats
+    gt_dir, gen_dir = separate_wavs(str(tmp_path))
+    import os
+    assert os.path.exists(os.path.join(gt_dir, "[G]item0.wav"))
+    assert os.path.exists(os.path.join(gen_dir, "[P]item0.wav"))
+    assert not os.path.exists(os.path.join(gen_dir, "[P_SEG]item0.wav"))
