@@ -57,10 +57,23 @@ def bf16_wrap(loss_fn: LossFn) -> LossFn:
     return wrapped
 
 
+def _all_finite(tree) -> jax.Array:
+    """Scalar bool: every float leaf of the tree is finite."""
+    leaves = [jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(tree)
+              if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)]
+    return jnp.stack(leaves).all() if leaves else jnp.asarray(True)
+
+
+def _select_tree(pred: jax.Array, on_true, on_false):
+    return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
 def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
                     data_axis: str = "data",
-                    use_bf16: bool = False) -> Callable:
+                    use_bf16: bool = False,
+                    skip_nan_updates: bool = True,
+                    param_specs: Any = None) -> Callable:
     """Build ``train_step(state, batch, rng) -> (state, metrics)`` (jitted).
 
     With a mesh, the batch is constrained to be sharded over ``data_axis``
@@ -68,9 +81,25 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
     a host loop or ``lax.scan`` over microbatches at the task layer.
     ``use_bf16`` runs forward/backward in bfloat16 against fp32 master
     params (the reference's AMP equivalent, trainer.py:109-110,325).
+
+    ``skip_nan_updates`` is the TPU-native form of the reference's NaN-grad
+    tripwire (``trainer.py:356-363``: scan ``.grad`` tensors, skip
+    ``optimizer.step``): the finite-check and the conditional update live
+    INSIDE the XLA program — params/opt_state keep their old values when any
+    gradient is non-finite and the ``nan_grads`` metric reports it, so the
+    host never pays a per-step sync to stay safe.
     """
     if use_bf16:
         loss_fn = bf16_wrap(loss_fn)
+
+    def _constrain(params):
+        # tensor-parallel: pin each param to its PartitionSpec; GSPMD
+        # partitions every matmul touching it and inserts ICI collectives
+        if mesh is None or param_specs is None:
+            return params
+        from speech_editing_tpu.parallel.tp import constrain_params
+
+        return constrain_params(params, mesh, param_specs)
 
     def step_fn(state: TrainState, batch, rng):
         if mesh is not None:
@@ -79,17 +108,24 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
         # step counter visible to losses (KL warmup / CE annealing)
         batch = dict(batch, global_step=state.step.astype(jnp.float32))
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (total, metrics), grads = grad_fn(state.params, batch, rng)
+        (total, metrics), grads = grad_fn(_constrain(state.params), batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         metrics["total_loss"] = total
         metrics["grad_norm"] = optax.global_norm(grads)
-        new_state = TrainState(step=state.step + 1, params=params,
+        if skip_nan_updates:
+            finite = _all_finite(grads)
+            params = _select_tree(finite, params, state.params)
+            opt_state = _select_tree(finite, opt_state, state.opt_state)
+            metrics["nan_grads"] = 1.0 - finite.astype(jnp.float32)
+        new_state = TrainState(step=state.step + 1, params=_constrain(params),
                                opt_state=opt_state)
         return new_state, metrics
 
     if mesh is not None:
+        if param_specs is not None:  # TP: XLA lays out state from constraints
+            return jax.jit(step_fn, donate_argnums=(0,))
         rep = NamedSharding(mesh, P())
         return jax.jit(step_fn, donate_argnums=(0,),
                        out_shardings=(rep, rep))
@@ -121,6 +157,9 @@ def make_accum_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
         grads = jax.tree.map(lambda g: g / n_micro, grads_sum)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        finite = _all_finite(grads)  # same NaN tripwire as make_train_step
+        params = _select_tree(finite, params, state.params)
+        opt_state = _select_tree(finite, opt_state, state.opt_state)
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state)
 

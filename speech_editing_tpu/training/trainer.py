@@ -70,8 +70,16 @@ class Trainer:
         self.work_dir = work_dir or hp.get("work_dir") or os.path.join(
             "checkpoints", hp.get("exp_name", "default"))
         os.makedirs(self.work_dir, exist_ok=True)
-        self.mesh = make_mesh()
-        self.n_dev = int(np.prod(list(self.mesh.shape.values())))
+        self.tp_size = int(hp.get("tp_size", 1))
+        if self.tp_size > 1:
+            from speech_editing_tpu.parallel.tp import make_tp_mesh
+
+            self.mesh = make_tp_mesh(tp=self.tp_size)
+        else:
+            self.mesh = make_mesh()
+        # batch padding/sharding granularity = data-axis size (with TP the
+        # model axis sees the same batch shard, so only "data" splits it)
+        self.n_dev = int(self.mesh.shape.get("data", 1))
         self.model = task.build_model()
         self.rng = jax.random.PRNGKey(int(hp.get("seed", 1234)))
         self.state: Optional[TrainState] = None
@@ -110,14 +118,20 @@ class Trainer:
         tx = build_optimizer(self.hp)
         self.tx = tx
         self.loss_fn = self.task.make_loss_fn(self.model)
-        self.train_step = make_train_step(
-            self.loss_fn, tx, mesh=self.mesh,
-            use_bf16=bool(self.hp.get("use_bf16", False)))
-        self.eval_step = make_eval_step(self.loss_fn, mesh=self.mesh)
-
         ckpt_path, steps = get_last_checkpoint(self.work_dir)
         self.rng, init_rng = jax.random.split(self.rng)
         variables = self.task.init_model(self.model, first_batch, init_rng)
+        param_specs = None
+        if self.tp_size > 1:
+            from speech_editing_tpu.parallel.tp import param_partition_specs
+
+            param_specs = param_partition_specs(variables["params"],
+                                                self.tp_size)
+        self.train_step = make_train_step(
+            self.loss_fn, tx, mesh=self.mesh,
+            use_bf16=bool(self.hp.get("use_bf16", False)),
+            param_specs=param_specs)
+        self.eval_step = make_eval_step(self.loss_fn, mesh=self.mesh)
         state = TrainState.create(variables["params"], tx)
         if ckpt_path is not None:
             payload = load_checkpoint(ckpt_path)
@@ -126,7 +140,8 @@ class Trainer:
             print(f"| loaded checkpoint {ckpt_path} (step {self.global_step})")
         self.state = state
         n_params = sum(x.size for x in jax.tree.leaves(state.params))
-        print(f"| model params: {n_params / 1e6:.3f}M | devices: {self.n_dev}")
+        mesh_desc = "x".join(f"{a}={s}" for a, s in self.mesh.shape.items())
+        print(f"| model params: {n_params / 1e6:.3f}M | mesh: {mesh_desc}")
 
     def _build_gan_state(self, first_batch: dict):
         """Two-TrainState GAN setup (vocoder): fused gen+disc step."""
@@ -253,6 +268,22 @@ class Trainer:
                 t0 = time.time()
                 msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
                 print(f"| step {self.global_step} | {sps:.2f} it/s | {msg}")
+                # NaN tripwire (reference trainer.py:356-363): the jitted
+                # step already skipped the bad update; here we only escalate.
+                if m.get("nan_grads", 0) > 0:
+                    self._nan_intervals = getattr(self, "_nan_intervals", 0) + 1
+                    print(f"| WARNING: non-finite gradients at step "
+                          f"{self.global_step}; update was skipped "
+                          f"({self._nan_intervals} consecutive intervals)")
+                    if self._nan_intervals >= int(
+                            hp.get("max_nan_intervals", 5)):
+                        raise RuntimeError(
+                            "gradients non-finite for "
+                            f"{self._nan_intervals} consecutive log "
+                            "intervals; aborting (set max_nan_intervals "
+                            "to tune)")
+                else:
+                    self._nan_intervals = 0
                 for k, v in m.items():
                     self.logger.add_scalar(f"tr/{k}", v, self.global_step)
                 self.logger.add_scalar("tr/it_per_sec", sps, self.global_step)

@@ -64,3 +64,39 @@ def test_test_loop_writes_wavs(trained):
     assert any(w.startswith("[G]") for w in wavs)
     assert any(w.startswith("[P_SEG]") for w in wavs)
     assert any(w.endswith("_mel.npy") for w in wavs)
+
+
+def test_nan_grad_tripwire_skips_update():
+    """skip_nan_updates: non-finite grads leave params/opt_state untouched
+    (reference trainer.py:356-363 equivalent, in-program)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from speech_editing_tpu.training.train_state import (TrainState,
+                                                         make_train_step)
+
+    def loss_fn(params, batch, rng):
+        total = jnp.sum(params["w"] * batch["x"]) + 0.0 * batch["global_step"]
+        return total, {}
+
+    tx = optax.adam(1e-2)
+    params = {"w": jnp.ones((4,))}
+    state = TrainState.create(params, tx)
+    step = make_train_step(loss_fn, tx)
+    rng = jax.random.PRNGKey(0)
+
+    bad = {"x": jnp.array([1.0, jnp.nan, 1.0, 1.0])}
+    state1, m1 = step(state, bad, rng)
+    assert float(m1["nan_grads"]) == 1.0
+    assert np.allclose(np.asarray(state1.params["w"]), 1.0)  # unchanged
+    assert int(state1.step) == 1  # step still advances (scheduler parity)
+    mu = state1.opt_state[0].mu["w"] if hasattr(state1.opt_state[0], "mu") \
+        else None
+    if mu is not None:
+        assert np.all(np.isfinite(np.asarray(mu)))
+
+    good = {"x": jnp.ones((4,))}
+    state2, m2 = step(state1, good, rng)
+    assert float(m2["nan_grads"]) == 0.0
+    assert not np.allclose(np.asarray(state2.params["w"]), 1.0)  # updated
