@@ -1,0 +1,100 @@
+"""Training-throughput benchmark: mel frames/sec/chip on the flagship model.
+
+Complements bench.py (inference edit RTF) with the second BASELINE.json
+metric: sustained sharded train-step throughput of FluentSpeech
+spec_denoiser at the real egs/spec_denoiser.yaml sizes. The batch mirrors
+the reference's token budget (max_tokens=40000 mel frames per device
+batch, egs/spec_denoiser.yaml) — here B x T = 40960 frames per step.
+
+Usage: python scripts/bench_train.py [--bf16] [--batch B] [--frames T]
+Prints one JSON line {"metric": "train_frames_per_sec_per_chip", ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=80)
+    ap.add_argument("--frames", type=int, default=512)
+    ap.add_argument("--tokens", type=int, default=96)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--iters", type=int, default=15)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch, _flagship_hp
+    from speech_editing_tpu.parallel.mesh import make_mesh, shard_batch
+    from speech_editing_tpu.training.optim import build_optimizer
+    from speech_editing_tpu.training.tasks.spec_denoiser import (build_model,
+                                                                 make_loss_fn)
+    from speech_editing_tpu.training.train_state import (TrainState,
+                                                         make_train_step)
+
+    hp = _flagship_hp()
+    if args.bf16:
+        hp["use_bf16"] = True
+    vocab = 80
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    model = build_model(vocab, hp)
+    batch = _example_batch(b=args.batch, t=args.frames, s=args.tokens,
+                           vocab=vocab)
+
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        jnp.asarray(batch["txt_tokens"]),
+        jnp.asarray(batch["time_mel_masks"])[..., None],
+        jnp.asarray(batch["mel2ph"]), None, jnp.asarray(batch["mels"]),
+        jnp.asarray(batch["f0"]), jnp.asarray(batch["uv"]))
+    tx = build_optimizer(hp)
+    state = TrainState.create(variables["params"], tx)
+    loss_fn = make_loss_fn(model, hp, sil_token_ids=(3,))
+    train_step = make_train_step(loss_fn, tx, mesh=mesh)
+    sharded = shard_batch(batch, mesh)
+
+    rng = jax.random.PRNGKey(7)
+    # warmup/compile (two steps: first compiles, second settles caches)
+    for _ in range(2):
+        rng, sub = jax.random.split(rng)
+        state, metrics = train_step(state, sharded, sub)
+    jax.block_until_ready(metrics)
+
+    times = []
+    for _ in range(args.iters):
+        rng, sub = jax.random.split(rng)
+        t0 = time.perf_counter()
+        state, metrics = train_step(state, sharded, sub)
+        jax.block_until_ready(metrics)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    frames = args.batch * args.frames
+    fps_chip = frames / med / n_dev
+    print(json.dumps({
+        "metric": "train_frames_per_sec_per_chip",
+        "value": round(fps_chip, 1),
+        "unit": f"mel frames/s/chip (step={med*1e3:.1f}ms, "
+                f"batch={frames} frames, {n_dev} devices"
+                f"{', bf16' if args.bf16 else ''})",
+        "total_loss": round(float(metrics["total_loss"]), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
