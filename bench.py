@@ -31,6 +31,8 @@ def main():
     from speech_editing_tpu.models.vocoder import HifiGanGenerator
     from speech_editing_tpu.ops.mel import MelConfig
     from speech_editing_tpu.ops.pallas.mel_kernel import mel_spectrogram_pallas as mel_spectrogram
+    from speech_editing_tpu.ops.pitch import (extract_pitch_jax,
+                                              norm_interp_f0_jax)
     from speech_editing_tpu.training.tasks.spec_denoiser import build_model
     from __graft_entry__ import _flagship_hp
 
@@ -77,15 +79,19 @@ def main():
     vparams = jax.jit(voc.init)(jax.random.PRNGKey(2), mel0)
 
     @jax.jit
-    def edit(params, vps, wav_in, txt, mask, mel2ph, f0, uv, rng):
+    def edit(params, vps, wav_in, txt, mask, mel2ph, rng):
+        # the FULL edit pipeline as one XLA program: on-device mel (Pallas)
+        # + on-device f0 (ops.pitch) -> masked diffusion -> vocoder
         mel = mel_spectrogram(wav_in, cfg)[:, :T]
-        out = model.apply(params, txt, mask, mel2ph, None, mel, f0, uv,
-                          infer=True, rng=rng)
+        f0_hz = extract_pitch_jax(wav_in[0], hop, sr, 80.0, 600.0)[:T]
+        f0n, uvn = norm_interp_f0_jax(f0_hz)
+        out = model.apply(params, txt, mask, mel2ph, None, mel,
+                          f0n[None], uvn[None], infer=True, rng=rng)
         comp = out["mel_out"] * mask + mel * (1 - mask)
         return voc.apply(vps, comp)
 
     rng = jax.random.PRNGKey(3)
-    args = (variables, vparams, wav_j, txt, mask, mel2ph, f0, uv)
+    args = (variables, vparams, wav_j, txt, mask, mel2ph)
     # warmup / compile
     edit(*args, rng).block_until_ready()
     edit(*args, rng).block_until_ready()

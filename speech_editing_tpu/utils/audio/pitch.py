@@ -7,7 +7,8 @@ f0 <-> coarse-bin / log-norm helpers (``utils/audio/pitch/utils.py``).
 
 The norm/denorm helpers are written array-namespace-generically so the same
 functions run on numpy (host binarizer) and jax.numpy (inside jitted model
-code) — see ``speech_editing_tpu.ops.pitch_ops`` for the jnp bindings.
+code). ``speech_editing_tpu.ops.pitch`` carries the jittable on-device
+tracker (same algorithm, parity-tested) for single-program inference.
 """
 
 from __future__ import annotations
