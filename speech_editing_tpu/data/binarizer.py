@@ -125,7 +125,8 @@ class BaseBinarizer:
                      win_length=p["win_size"], num_mels=p["audio_num_mel_bins"],
                      fmin=p["fmin"], fmax=p["fmax"],
                      sample_rate=p["audio_sample_rate"],
-                     loud_norm=p["loud_norm"])
+                     loud_norm=p["loud_norm"],
+                     backend=p.get("dsp_backend", "auto"))
         mel = d["mel"]
         wav = d["wav"].astype(np.float16)
         res.update({"mel": mel, "wav": wav,

@@ -183,12 +183,16 @@ def wav2spec(wav_or_path,
              eps: float = 1e-6,
              sample_rate: int = 22050,
              loud_norm: bool = False,
-             trim_long_sil: bool = False) -> dict:
+             trim_long_sil: bool = False,
+             backend: str = "numpy") -> dict:
     """wav -> log10-mel dict, matching reference ``librosa_wav2spec``.
 
     Returns ``{'wav': [N], 'mel': [T, n_mels], 'linear': [T, n_bins],
     'mel_basis': [n_mels, n_bins]}`` with the wav zero-padded/truncated to
     exactly ``T * hop_size`` samples.
+
+    ``backend``: "numpy" (default), "native" (threaded C++ fastdsp,
+    bit-parity-tested), or "auto" (native when built, else numpy).
     """
     if isinstance(wav_or_path, str):
         from speech_editing_tpu.utils.audio.io import load_wav
@@ -210,15 +214,30 @@ def wav2spec(wav_or_path,
         if np.abs(wav).max() > 1:
             wav = wav / np.abs(wav).max()
 
-    x_stft = stft(wav, fft_size, hop_size, win_length, window, center=True,
-                  pad_mode="constant")
-    linear = np.abs(x_stft)  # [n_bins, T]
-
     fmin = 0 if fmin == -1 else fmin
     fmax = sample_rate / 2 if fmax == -1 else fmax
     mel_basis = mel_filterbank(sample_rate, fft_size, num_mels, fmin, fmax)
-    mel = mel_basis @ linear
-    mel = np.log10(np.maximum(eps, mel))
+
+    use_native = False
+    if backend in ("native", "auto") and window == "hann":
+        from speech_editing_tpu.utils.audio import native as _native
+
+        use_native = _native.available()
+        assert use_native or backend == "auto", \
+            "native DSP requested but not built (scripts/build_native.sh)"
+    if use_native:
+        from speech_editing_tpu.utils.audio import native as _native
+
+        mel, linear = _native.stft_mel_native(
+            wav, fft_size, hop_size, win_length, num_mels, fmin, fmax,
+            eps=eps, sample_rate=sample_rate, want_linear=True)
+        mel, linear = mel.T, linear.astype(np.float64).T
+    else:
+        x_stft = stft(wav, fft_size, hop_size, win_length, window,
+                      center=True, pad_mode="constant")
+        linear = np.abs(x_stft)  # [n_bins, T]
+        mel = mel_basis @ linear
+        mel = np.log10(np.maximum(eps, mel))
 
     l_pad, r_pad = pad_lr(wav, fft_size, hop_size, 1)
     wav = np.pad(wav, (l_pad, r_pad), mode="constant")

@@ -36,6 +36,21 @@ def extract_pitch(extractor_name, wav, hop_size, audio_sample_rate,
                                             f0_min, f0_max, **kw)
 
 
+@register_pitch_extractor("autocorr_native")
+def autocorr_pitch_native(wav, hop_size, audio_sample_rate, f0_min=75,
+                          f0_max=800, voicing_threshold=0.45, **kw):
+    """Threaded C++ tracker (native/fastdsp.cpp), numerically identical to
+    :func:`autocorr_pitch`; falls back to numpy when the .so isn't built."""
+    from speech_editing_tpu.utils.audio import native
+
+    if not native.available():
+        return autocorr_pitch(wav, hop_size, audio_sample_rate, f0_min,
+                              f0_max, voicing_threshold, **kw)
+    return native.autocorr_pitch_native(
+        np.asarray(wav, np.float32), hop_size, audio_sample_rate,
+        f0_min, f0_max, voicing_threshold)
+
+
 @register_pitch_extractor("autocorr")
 def autocorr_pitch(wav, hop_size, audio_sample_rate, f0_min=75, f0_max=800,
                    voicing_threshold=0.45, **kw) -> np.ndarray:
