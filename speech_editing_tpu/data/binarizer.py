@@ -199,7 +199,19 @@ class BaseBinarizer:
 
             return {"voice_encoder": VoiceEncoder(device="cpu")}
         except Exception:
-            return {}
+            pass
+        # flax re-implementation (models/voice_encoder.py) with a converted
+        # resemblyzer checkpoint; else the deterministic spectral fallback
+        ckpt = os.environ.get("VOICE_ENCODER_CKPT", "")
+        if ckpt and os.path.exists(ckpt):
+            try:
+                from speech_editing_tpu.models.voice_encoder import \
+                    load_voice_encoder
+
+                return {"voice_encoder": load_voice_encoder(ckpt)}
+            except Exception as e:
+                print(f"| voice encoder ckpt load failed: {e}")
+        return {}
 
     # -- driver ------------------------------------------------------------------
     def process(self):
