@@ -24,10 +24,13 @@ MODEL_FN="$PROCESSED_DIR/mfa_model.zip"
 rm -rf "$MFA_OUT_TMP" "$MFA_OUT"
 mkdir -p "$MFA_OUT"
 
+CFG="$(dirname "$0")/mfa_train_config.yaml"
 mfa train "$MFA_INPUTS" "$MFA_DICT" "$MODEL_FN" "$MFA_OUT_TMP" \
-  -t "$PROCESSED_DIR/mfa_temp" -j "$NUM_JOB" --clean
+  -t "$PROCESSED_DIR/mfa_temp" -j "$NUM_JOB" --clean --config_path "$CFG"
 
 # flatten group dirs: mfa_tmp/<group>/<item>.TextGrid -> mfa_outputs/<item>.TextGrid
 find "$MFA_OUT_TMP" -name '*.TextGrid' -exec mv {} "$MFA_OUT/" \;
+# keep the unaligned-items report next to the outputs (reference parity)
+[ -e "$MFA_OUT_TMP/unaligned.txt" ] && cp "$MFA_OUT_TMP/unaligned.txt" "$PROCESSED_DIR/"
 rm -rf "$MFA_OUT_TMP"
 echo "| TextGrids -> $MFA_OUT"
