@@ -180,10 +180,15 @@ class BaseBinarizer:
         item["pitch"] = f0_to_coarse(f0)
 
     @staticmethod
-    def get_spk_embed(wav, ctx=None, **kw):
+    def get_spk_embed(wav, ctx=None, sample_rate: int = 22050, **kw):
         wav = np.asarray(wav, np.float32)
         if ctx and "voice_encoder" in ctx:
-            return ctx["voice_encoder"].embed_utterance(wav.astype(np.float64))
+            enc = ctx["voice_encoder"]
+            try:  # our flax VoiceEncoderCtx resamples from the corpus rate
+                return enc.embed_utterance(wav.astype(np.float64),
+                                           source_sr=sample_rate)
+            except TypeError:  # resemblyzer's signature has no source_sr
+                return enc.embed_utterance(wav.astype(np.float64))
         # deterministic fallback: pooled spectral stats, padded to 256
         from speech_editing_tpu.utils.audio.dsp import wav2spec
 
@@ -236,7 +241,8 @@ class BaseBinarizer:
             if item is not None:
                 items.append(item)
         if self.with_spk_embed:
-            args = [{"wav": it["wav"]} for it in items]
+            sr = int(self.text2mel_params.get("audio_sample_rate", 22050))
+            args = [{"wav": it["wav"], "sample_rate": sr} for it in items]
             for idx, emb in multiprocess_run_tqdm(
                     self.get_spk_embed, args, num_workers=2,
                     init_ctx_func=self._spk_encoder_ctx,

@@ -159,8 +159,14 @@ class VoiceEncoderCtx:
             if len(p) < VE_PARTIAL_FRAMES:  # zero-pad the tail partial
                 p = np.pad(p, ((0, VE_PARTIAL_FRAMES - len(p)), (0, 0)))
             parts.append(p)
+        n_real = len(parts)
+        # pad the partial count to a power-of-two bucket: the LSTM scan then
+        # compiles once per bucket, not once per utterance length (CLAUDE.md:
+        # keep distinct jit shapes low — compiles are minutes on 1-CPU hosts)
+        n_pad = int(2 ** np.ceil(np.log2(max(n_real, 1))))
+        parts += [np.zeros_like(parts[0])] * (n_pad - n_real)
         batch = jnp.asarray(np.stack(parts))
-        embeds = np.asarray(self._apply(self.variables, batch))
+        embeds = np.asarray(self._apply(self.variables, batch))[:n_real]
         mean = embeds.mean(0)
         return (mean / (np.linalg.norm(mean) + 1e-8)).astype(np.float32)
 

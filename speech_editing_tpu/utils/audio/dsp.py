@@ -219,18 +219,28 @@ def wav2spec(wav_or_path,
     mel_basis = mel_filterbank(sample_rate, fft_size, num_mels, fmin, fmax)
 
     use_native = False
-    if backend in ("native", "auto") and window == "hann":
-        from speech_editing_tpu.utils.audio import native as _native
+    if backend in ("native", "auto"):
+        # native path supports hann windows and power-of-two fft sizes
+        eligible = window == "hann" and fft_size > 0 \
+            and (fft_size & (fft_size - 1)) == 0
+        if eligible:
+            from speech_editing_tpu.utils.audio import native as _native
 
-        use_native = _native.available()
-        assert use_native or backend == "auto", \
-            "native DSP requested but not built (scripts/build_native.sh)"
+            use_native = _native.available()
+        if backend == "native" and not use_native:
+            raise RuntimeError(
+                "backend='native' unavailable: "
+                + ("unsupported window/fft_size "
+                   f"(window={window!r}, fft_size={fft_size})" if not eligible
+                   else "library not built (scripts/build_native.sh)"))
     if use_native:
         from speech_editing_tpu.utils.audio import native as _native
 
         mel, linear = _native.stft_mel_native(
             wav, fft_size, hop_size, win_length, num_mels, fmin, fmax,
-            eps=eps, sample_rate=sample_rate, want_linear=True)
+            eps=eps, sample_rate=sample_rate, want_linear=True,
+            window=stft_window("hann", win_length, fft_size),
+            mel_basis=mel_basis)
         mel, linear = mel.T, linear.astype(np.float64).T
     else:
         x_stft = stft(wav, fft_size, hop_size, win_length, window,

@@ -30,28 +30,57 @@ _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 
 def build(force: bool = False) -> bool:
-    """Compile the .so if g++ and the source are available."""
+    """Compile the .so if g++ and the source are available.
+
+    Safe under concurrent callers (binarizer worker pool): compiles to a
+    per-pid temp file, then atomically renames — no worker can dlopen a
+    half-written ELF.
+    """
     if os.path.exists(SO_PATH) and not force:
         return True
     if not os.path.exists(SRC_PATH):
         return False
+    tmp = f"{SO_PATH}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-std=c++17", "-pthread", SRC_PATH, "-o", SO_PATH],
+             "-std=c++17", "-pthread", SRC_PATH, "-o", tmp],
             check=True, capture_output=True)
+        os.replace(tmp, SO_PATH)
         return True
     except (OSError, subprocess.CalledProcessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
+_LOAD_FAILED = False
+
+
 def _load() -> Optional[ctypes.CDLL]:
-    global _LIB
+    global _LIB, _LOAD_FAILED
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(SO_PATH) and not build():
+    if _LOAD_FAILED:
         return None
-    lib = ctypes.CDLL(SO_PATH)
+    if not os.path.exists(SO_PATH) and not build():
+        _LOAD_FAILED = True
+        return None
+    try:
+        lib = ctypes.CDLL(SO_PATH)
+    except OSError:
+        # stale/incompatible binary (e.g. -march=native from another host):
+        # rebuild once, else report unavailable so callers fall back to numpy
+        if not build(force=True):
+            _LOAD_FAILED = True
+            return None
+        try:
+            lib = ctypes.CDLL(SO_PATH)
+        except OSError:
+            _LOAD_FAILED = True
+            return None
     lib.fastdsp_num_frames.restype = ctypes.c_long
     lib.fastdsp_num_frames.argtypes = [ctypes.c_long, ctypes.c_int]
     lib.fastdsp_stft_mel.restype = ctypes.c_int
@@ -80,22 +109,27 @@ def stft_mel_native(wav: np.ndarray, fft_size: int = 1024,
                     num_mels: int = 80, fmin: float = 80, fmax: float = -1,
                     eps: float = 1e-6, sample_rate: int = 22050,
                     want_linear: bool = False,
-                    n_threads: Optional[int] = None):
+                    n_threads: Optional[int] = None,
+                    window: Optional[np.ndarray] = None,
+                    mel_basis: Optional[np.ndarray] = None):
     """log10-mel [T, n_mels] (+ optional linear magnitude [T, n_bins]);
-    drop-in for the STFT->mel core of dsp.py::wav2spec."""
+    drop-in for the STFT->mel core of dsp.py::wav2spec. Callers in a hot
+    loop should pass precomputed ``window``/``mel_basis``."""
     lib = _load()
     assert lib is not None, "native DSP not built (scripts/build_native.sh)"
     from speech_editing_tpu.utils.audio.dsp import (mel_filterbank,
                                                     stft_window)
 
     wav = np.ascontiguousarray(wav, np.float32)
-    window = np.ascontiguousarray(
-        stft_window("hann", win_length, fft_size), np.float64)
-    fmin = 0 if fmin == -1 else fmin
-    fmax = sample_rate / 2 if fmax == -1 else fmax
-    fb = np.ascontiguousarray(
-        mel_filterbank(sample_rate, fft_size, num_mels, fmin, fmax),
-        np.float64)
+    if window is None:
+        window = stft_window("hann", win_length, fft_size)
+    window = np.ascontiguousarray(window, np.float64)
+    if mel_basis is None:
+        fmin = 0 if fmin == -1 else fmin
+        fmax = sample_rate / 2 if fmax == -1 else fmax
+        mel_basis = mel_filterbank(sample_rate, fft_size, num_mels, fmin,
+                                   fmax)
+    fb = np.ascontiguousarray(mel_basis, np.float64)
     t = int(lib.fastdsp_num_frames(len(wav), hop_size))
     n_bins = fft_size // 2 + 1
     mel = np.empty((t, num_mels), np.float32)
