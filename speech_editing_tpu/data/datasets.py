@@ -59,10 +59,27 @@ class BaseDataset:
     def size(self, index: int) -> int:
         return min(self.sizes[index], self.hp.get("max_frames", 1548))
 
+    def sample_weights(self):
+        """Optional per-item sampling weights (None = uniform)."""
+        return None
+
     def ordered_indices(self) -> np.ndarray:
         if self.shuffle:
             rng = np.random.RandomState(
                 int(self.hp.get("seed", 1234)) + self.epoch)
+            if self.hp.get("use_weighted_sampler", False):
+                # weighted resampling with replacement (reference
+                # stutter_predictor.py:213-225 WeightedRandomSampler role)
+                w = self.sample_weights()
+                if w is not None:
+                    p = np.asarray(w, np.float64)
+                    p = p / p.sum()
+                    indices = rng.choice(len(self), len(self), replace=True,
+                                         p=p)
+                    if self.sort_by_len:
+                        indices = indices[np.argsort(
+                            np.array(self.sizes)[indices], kind="mergesort")]
+                    return indices
             indices = rng.permutation(len(self))
             if self.sort_by_len:
                 indices = indices[np.argsort(
@@ -155,6 +172,23 @@ class BaseSpeechDataset(BaseDataset):
 class EditingDataset(BaseSpeechDataset):
     """Speech-editing dataset with time_mel_masks (reference
     StutterSpeechDataset)."""
+
+    _sample_weights: Any = None
+
+    def sample_weights(self):
+        """Oversample items containing stutter frames (reference
+        stutter_predictor.py:216-222 formula: (10 + stutter)/(total))."""
+        if self._sample_weights is None:
+            ws = []
+            for i in range(len(self)):
+                item = self._get_item(i)
+                m = np.asarray(item.get("stutter_mel_mask", []))
+                if m.size == 0:
+                    ws.append(1.0)
+                else:
+                    ws.append((10.0 + float((m > 0).sum())) / m.size)
+            self._sample_weights = np.asarray(ws, np.float64)
+        return self._sample_weights
 
     def __getitem__(self, index: int) -> dict:
         sample = super().__getitem__(index)

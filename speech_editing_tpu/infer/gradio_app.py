@@ -27,8 +27,8 @@ def build_app(hp):
         wav = np.asarray(wav, np.float32)
         if wav.dtype.kind == "i":
             wav = wav / 32768.0
-        res = wav2spec(wav, sample_rate=sr, n_fft=hp["fft_size"],
-                       hop_size=hp["hop_size"],
+        res = wav2spec(wav, sample_rate=sr, fft_size=hp["fft_size"],
+                       hop_size=hp["hop_size"], win_length=hp["win_size"],
                        num_mels=hp["audio_num_mel_bins"],
                        fmin=hp["fmin"], fmax=hp["fmax"])
         inp = {"item_name": "gradio", "text": text,
@@ -47,7 +47,9 @@ def build_app(hp):
                 gr.Textbox(label="region e.g. [4,6]"),
                 gr.Textbox(label="edited region e.g. [4,6]")],
         outputs=gr.Audio(label="edited audio"),
-        title="speech_editing_tpu — text-based speech editing")
+        title=hp.get("gradio_title",
+                     "speech_editing_tpu — text-based speech editing"),
+        description=hp.get("gradio_description", ""))
 
 
 if __name__ == "__main__":

@@ -136,3 +136,47 @@ def test_loader_endless_epochs(corpus):
     n_one_epoch = len(list(DataLoader(ds, max_sentences=4)))
     got = [next(it) for _ in range(n_one_epoch + 1)]  # crosses epoch boundary
     assert len(got) == n_one_epoch + 1
+
+
+def test_weighted_sampler_oversamples_stutter(tmp_path, rng):
+    """use_weighted_sampler: items with stutter frames appear more often
+    (reference stutter_predictor.py:213-225, opt-in)."""
+    from speech_editing_tpu.data.indexed_dataset import IndexedDatasetBuilder
+    from tests.helpers import synth_corpus_items
+
+    data_dir = str(tmp_path / "binary")
+    import os
+    os.makedirs(data_dir)
+    items = synth_corpus_items(rng, n_items=8)
+    for i, it in enumerate(items):
+        t = len(it["mel"])
+        mask = np.zeros(t, np.int64)
+        if i < 2:  # only the first two items contain stutter frames
+            mask[: t // 2] = 1
+        it["stutter_mel_mask"] = mask
+    builder = IndexedDatasetBuilder(f"{data_dir}/train")
+    for it in items:
+        builder.add_item(it)
+    builder.finalize()
+    np.save(f"{data_dir}/train_lengths.npy",
+            np.asarray([len(it["mel"]) for it in items]))
+
+    hp = dict(TINY_HP)
+    hp.update(binary_data_dir=data_dir, infer=False, seed=1,
+              mask_type="random", training_mask_ratio=0.5,
+              max_frames=200, max_input_tokens=50, test_ids=[], min_frames=0,
+              use_weighted_sampler=True)
+    ds = EditingDataset("train", hp, shuffle=True)
+    w = ds.sample_weights()
+    assert w[0] > w[3] and w[1] > w[5]
+    counts = np.zeros(8)
+    for epoch in range(12):
+        ds.set_epoch(epoch)
+        idx = ds.ordered_indices()
+        assert len(idx) == 8
+        counts += np.bincount(idx, minlength=8)
+    assert counts[:2].sum() > counts[2:].sum()  # stutter items oversampled
+    # flag off -> plain permutation, every item exactly once
+    hp["use_weighted_sampler"] = False
+    ds2 = EditingDataset("train", hp, shuffle=True)
+    assert sorted(ds2.ordered_indices().tolist()) == list(range(8))
