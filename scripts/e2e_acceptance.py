@@ -1,0 +1,143 @@
+"""End-to-end acceptance run: train FluentSpeech on a structured synthetic
+corpus until the masked-region reconstruction measurably beats an untrained
+model, then score generated segments with the metric pipeline.
+
+The reference has no test suite; its de-facto acceptance is running
+``eval/get_metrics.py`` over a finished run's [G_SEG]/[P_SEG] wavs
+(SURVEY §4). This script automates that loop on a corpus whose mel frames
+are a deterministic function of the aligned phoneme (plus noise), so a
+working model provably LEARNS (masked-region MCD drops vs the untrained
+baseline) rather than just executing.
+
+Usage: python scripts/e2e_acceptance.py [--steps 600] [--workdir DIR]
+Prints one JSON line with mcd_untrained / mcd_trained / improvement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def write_structured_corpus(data_dir: str, n_items: int = 24, vocab: int = 12,
+                            seed: int = 0):
+    """Binarized corpus where mel[t] = signature(phoneme at t) + noise."""
+    from speech_editing_tpu.data.indexed_dataset import IndexedDatasetBuilder
+
+    rs = np.random.RandomState(seed)
+    # fixed per-token mel signature: smooth 80-dim patterns
+    base = rs.randn(vocab, 80) * 0.8
+    for v in range(vocab):  # smooth across mel bins
+        base[v] = np.convolve(base[v], np.ones(9) / 9, mode="same") - 1.5
+    os.makedirs(data_dir, exist_ok=True)
+    for prefix, n in (("train", n_items), ("valid", 4), ("test", 6)):
+        builder = IndexedDatasetBuilder(f"{data_dir}/{prefix}")
+        lengths = []
+        for i in range(n):
+            s = int(rs.randint(6, 11))
+            ph_token = rs.randint(3, vocab, s).astype(np.int64)
+            durs = rs.randint(4, 12, s)
+            mel2ph = np.repeat(np.arange(1, s + 1), durs).astype(np.int64)
+            t_len = len(mel2ph)
+            mel = base[ph_token[mel2ph - 1]] + 0.05 * rs.randn(t_len, 80)
+            f0 = 150.0 + 8.0 * ph_token[mel2ph - 1] + rs.randn(t_len)
+            ph2word = (np.arange(s) // 2 + 1).astype(np.int64)
+            builder.add_item({
+                "item_name": f"item_{prefix}_{i}", "txt": "synthetic",
+                "ph_token": ph_token, "mel": mel.astype(np.float32),
+                "mel2ph": mel2ph, "ph2word": ph2word,
+                "word_token": rs.randint(3, vocab, int(ph2word.max())).astype(np.int64),
+                "mel2word": np.where(mel2ph > 0, (mel2ph - 1) // 2 + 1, 0).astype(np.int64),
+                "f0": f0.astype(np.float32),
+                "pitch": np.clip(f0, 1, 255).astype(np.int64),
+                "spk_embed": np.zeros(256, np.float32), "spk_id": 0,
+                "wav_fn": "",
+            })
+            lengths.append(t_len)
+        builder.finalize()
+        np.save(f"{data_dir}/{prefix}_lengths.npy", np.asarray(lengths))
+
+
+def seg_mcd(gen_dir: str) -> float:
+    """Mean mel-level MCD over [G_SEG]/[P_SEG] wav pairs of a test run."""
+    from speech_editing_tpu.evals.mcd import cal_mcd, seg_pairs
+
+    pairs = seg_pairs(os.path.join(gen_dir, "wavs", "*"))
+    assert pairs, f"no segment wavs under {gen_dir}"
+    return float(np.mean([cal_mcd(p, use_dtw=True) for p in pairs]))
+
+
+def run_cli(cfg: str, exp: str, *extra: str):
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+    subprocess.run([sys.executable, os.path.join(REPO, "run.py"),
+                    "--config", cfg, "--exp_name", exp, *extra],
+                   check=True, env=env, cwd=REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--workdir", default="/tmp/e2e_acceptance")
+    args = ap.parse_args()
+
+    import yaml
+
+    from helpers import TINY_HP
+
+    wd = args.workdir
+    shutil.rmtree(wd, ignore_errors=True)
+    os.makedirs(wd, exist_ok=True)
+    data_dir = os.path.join(wd, "binary")
+    write_structured_corpus(data_dir)
+
+    hp = dict(TINY_HP)
+    hp.update({
+        "task_cls":
+            "speech_editing_tpu.training.tasks.spec_denoiser.SpecDenoiserTask",
+        "binary_data_dir": data_dir,
+        "max_updates": args.steps, "val_check_interval": args.steps,
+        "max_tokens": 4000, "max_sentences": 8, "num_sanity_val_steps": 1,
+        "num_ckpt_keep": 1, "tb_log_interval": 100, "seed": 0,
+        "vocoder": "griffinlim", "training_mask_ratio": 0.6,
+        "infer_mask_ratio": 0.5, "mask_type": "random",
+        "hidden_size": 64, "residual_layers": 4, "residual_channels": 32,
+        "timesteps": 8, "lr": 4e-4, "warmup_updates": 100,
+    })
+    cfg = os.path.join(wd, "cfg.yaml")
+
+    results = {}
+    for tag, steps in (("untrained", 1), ("trained", args.steps)):
+        hp["max_updates"] = steps
+        hp["val_check_interval"] = steps
+        yaml.safe_dump(hp, open(cfg, "w"))
+        exp = f"e2e_{tag}"
+        ckpt_dir = os.path.join(REPO, "checkpoints", exp)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        run_cli(cfg, exp, "--reset")
+        run_cli(cfg, exp, "--infer")
+        gen = sorted(glob.glob(os.path.join(ckpt_dir, "generated_*")))[-1]
+        results[f"mcd_{tag}"] = round(seg_mcd(gen), 4)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+    improvement = results["mcd_untrained"] / max(results["mcd_trained"], 1e-9)
+    ok = results["mcd_trained"] < results["mcd_untrained"] * 0.7
+    print(json.dumps({**results, "improvement_x": round(improvement, 2),
+                      "steps": args.steps, "pass": bool(ok)}))
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
