@@ -306,22 +306,37 @@ class WordSpeechDataset(EditingDataset):
 class DataLoader:
     """Token-bucketed batch iterator with background prefetch.
 
-    Replaces torch DataLoader workers (``ds_workers``): item decode is cheap
-    (pickle + numpy), so one prefetch thread keeps the device fed while the
-    previous step runs.
+    Replaces torch DataLoader workers (``ds_workers``): with
+    ``num_workers=0`` one prefetch thread decodes ahead of the device;
+    with ``num_workers>0`` batches are decoded + collated by forked worker
+    processes and returned through shared memory (``data/loader_mp.py``) so
+    input throughput scales with host cores instead of one GIL.
     """
 
     def __init__(self, dataset: BaseDataset, max_tokens: Optional[int] = None,
                  max_sentences: Optional[int] = None,
                  required_batch_size_multiple: int = 1,
-                 endless: bool = False, prefetch: int = 2):
+                 endless: bool = False, prefetch: int = 2,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.max_tokens = max_tokens
         self.max_sentences = max_sentences
         self.bsz_mult = required_batch_size_multiple
         self.endless = endless
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self._epoch = 0
+        self._pool = None
+
+    def close(self):
+        """Shut down worker processes (no-op for the in-process path)."""
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.close()
+            self._pool = None
+
+    def __del__(self):
+        self.close()
 
     def _batches(self):
         indices = self.dataset.ordered_indices()
@@ -338,6 +353,21 @@ class DataLoader:
                 rng = np.random.RandomState(
                     int(self.dataset.hp.get("seed", 1234)) + self._epoch)
                 rng.shuffle(batches)
+
+            if self.num_workers > 0:
+                if getattr(self, "_pool", None) is None:
+                    from speech_editing_tpu.data.loader_mp import MPBatchPool
+
+                    # persistent across epochs: fork once, stream tasks
+                    self._pool = MPBatchPool(self.dataset, self.num_workers,
+                                             prefetch=self.prefetch)
+                yield from self._pool.iter_epoch(batches, self._epoch)
+                self._epoch += 1
+                if not self.endless:
+                    self._pool.close()
+                    self._pool = None
+                    return
+                continue
 
             q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
             stop = object()

@@ -101,7 +101,11 @@ class Trainer:
             max_tokens=hp.get("max_tokens"),
             max_sentences=max_sent,
             required_batch_size_multiple=self.n_dev if prefix == "train" else 1,
-            endless=endless)
+            endless=endless,
+            # worker processes only for the training stream (reference
+            # ds_workers); val/test stay in-process for determinism of order
+            num_workers=int(hp.get("ds_workers", 0)) if prefix == "train"
+            else 0)
 
     def _device_batch(self, raw: dict) -> dict:
         keys = self.task.effective_batch_keys()
@@ -226,6 +230,8 @@ class Trainer:
             save_checkpoint(self.work_dir, self.state, self.global_step,
                             num_ckpt_keep=int(hp.get("num_ckpt_keep", 3)))
             raise
+        finally:
+            loader.close()  # shut down ds_workers processes promptly
         # final checkpoint
         save_checkpoint(self.work_dir, self.state, self.global_step,
                         num_ckpt_keep=int(hp.get("num_ckpt_keep", 3)))

@@ -180,3 +180,30 @@ def test_weighted_sampler_oversamples_stutter(tmp_path, rng):
     hp["use_weighted_sampler"] = False
     ds2 = EditingDataset("train", hp, shuffle=True)
     assert sorted(ds2.ordered_indices().tolist()) == list(range(8))
+
+
+def test_mp_loader_matches_thread_loader(corpus):
+    """num_workers>0: shared-memory worker batches == in-process batches."""
+    data_dir, items, hp = corpus
+    ds1 = EditingDataset("train", hp, shuffle=True)
+    ds2 = EditingDataset("train", hp, shuffle=True)
+    kw = dict(max_tokens=2000, max_sentences=4)
+    ref_batches = list(DataLoader(ds1, num_workers=0, **kw))
+    mp_batches = list(DataLoader(ds2, num_workers=2, **kw))
+    assert len(ref_batches) == len(mp_batches) > 1
+    for a, b in zip(ref_batches, mp_batches):
+        assert set(a.keys()) == set(b.keys())
+        for k in a:
+            if isinstance(a[k], np.ndarray):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+            else:
+                assert a[k] == b[k], k
+
+
+def test_mp_loader_worker_error_surfaces(corpus):
+    from speech_editing_tpu.data.loader_mp import iter_batches_mp
+
+    data_dir, items, hp = corpus
+    ds = EditingDataset("train", hp, shuffle=False)
+    with pytest.raises(RuntimeError, match="data worker failed"):
+        list(iter_batches_mp(ds, [[0, 999999]], epoch=0, num_workers=1))
