@@ -70,12 +70,11 @@ def write_structured_corpus(data_dir: str, n_items: int = 24, vocab: int = 12,
 
 
 def seg_mcd(gen_dir: str) -> float:
-    """Mean mel-level MCD over [G_SEG]/[P_SEG] wav pairs of a test run."""
-    from speech_editing_tpu.evals.mcd import cal_mcd, seg_pairs
+    """Mean MCD over [G_SEG]/[P_SEG] wav pairs of a test run."""
+    from speech_editing_tpu.evals.mcd import cal_mcd_with_wave_batch
 
-    pairs = seg_pairs(os.path.join(gen_dir, "wavs", "*"))
-    assert pairs, f"no segment wavs under {gen_dir}"
-    return float(np.mean([cal_mcd(p, use_dtw=True) for p in pairs]))
+    return cal_mcd_with_wave_batch(os.path.join(gen_dir, "wavs", "*"),
+                                   use_dtw=True)
 
 
 def run_cli(cfg: str, exp: str, *extra: str):

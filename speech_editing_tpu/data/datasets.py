@@ -41,9 +41,30 @@ class BaseDataset:
         self.sort_by_len = hp.get("sort_by_len", True)
         self.sizes: Any = None
         self.epoch = 0
+        self._index_map: Any = None  # weighted-sampler virtual -> real
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        self._index_map = None
+        if self.shuffle and self.hp.get("use_weighted_sampler", False):
+            w = self.sample_weights()
+            if w is not None:
+                # weighted resampling with replacement (reference
+                # stutter_predictor.py:213-225 WeightedRandomSampler role).
+                # The draw lives HERE (not in ordered_indices) so every
+                # process rebuilds the same map from (seed, epoch), and
+                # __getitem__ keys its mask rng on the VIRTUAL index —
+                # repeated draws of one item get independent random masks.
+                p = np.asarray(w, np.float64)
+                p = p / p.sum()
+                rng = np.random.RandomState(
+                    int(self.hp.get("seed", 1234)) + epoch)
+                self._index_map = rng.choice(len(p), len(p), replace=True,
+                                             p=p)
+
+    def _real_index(self, index: int) -> int:
+        return int(self._index_map[index]) if self._index_map is not None \
+            else index
 
     def _item_rng(self, index: int) -> np.random.RandomState:
         seed = int(self.hp.get("seed", 1234))
@@ -57,7 +78,8 @@ class BaseDataset:
         return self.size(index)
 
     def size(self, index: int) -> int:
-        return min(self.sizes[index], self.hp.get("max_frames", 1548))
+        return min(self.sizes[self._real_index(index)],
+                   self.hp.get("max_frames", 1548))
 
     def sample_weights(self):
         """Optional per-item sampling weights (None = uniform)."""
@@ -67,23 +89,13 @@ class BaseDataset:
         if self.shuffle:
             rng = np.random.RandomState(
                 int(self.hp.get("seed", 1234)) + self.epoch)
-            if self.hp.get("use_weighted_sampler", False):
-                # weighted resampling with replacement (reference
-                # stutter_predictor.py:213-225 WeightedRandomSampler role)
-                w = self.sample_weights()
-                if w is not None:
-                    p = np.asarray(w, np.float64)
-                    p = p / p.sum()
-                    indices = rng.choice(len(self), len(self), replace=True,
-                                         p=p)
-                    if self.sort_by_len:
-                        indices = indices[np.argsort(
-                            np.array(self.sizes)[indices], kind="mergesort")]
-                    return indices
             indices = rng.permutation(len(self))
             if self.sort_by_len:
-                indices = indices[np.argsort(
-                    np.array(self.sizes)[indices], kind="mergesort")]
+                real_sizes = np.array(self.sizes)
+                if self._index_map is not None:  # virtual -> real sizes
+                    real_sizes = real_sizes[self._index_map]
+                indices = indices[np.argsort(real_sizes[indices],
+                                             kind="mergesort")]
         else:
             indices = np.arange(len(self))
         return indices
@@ -112,6 +124,7 @@ class BaseSpeechDataset(BaseDataset):
             self.sizes = [self.sizes[i] for i in self.avail_idxs]
 
     def _get_item(self, index: int):
+        index = self._real_index(index)  # weighted-sampler virtual -> real
         if self.avail_idxs is not None:
             index = self.avail_idxs[index]
         if self.indexed_ds is None:

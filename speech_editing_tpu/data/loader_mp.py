@@ -38,9 +38,19 @@ def _aligned(n: int) -> int:
     return (n + _ALIGN - 1) // _ALIGN * _ALIGN
 
 
+def _reset_file_handles(dataset):
+    """Drop pre-fork IndexedDataset handles so each worker re-opens its own
+    fd (a shared fd races on seek offsets). In-memory item lists are kept;
+    concat datasets recurse."""
+    from speech_editing_tpu.data.indexed_dataset import IndexedDataset
+
+    for sub in getattr(dataset, "datasets", [dataset]):
+        if isinstance(getattr(sub, "indexed_ds", None), IndexedDataset):
+            sub.indexed_ds = None
+
+
 def _worker_main(dataset, wid: int, n_slots: int, task_q, result_q, free_q):
-    # own file handle post-fork; lazy re-open happens on first _get_item
-    dataset.indexed_ds = None
+    _reset_file_handles(dataset)
     cur_epoch = -1
     slots: list[Optional[shared_memory.SharedMemory]] = [None] * n_slots
     try:
@@ -165,8 +175,16 @@ class MPBatchPool:
         next_out = 0
         while next_out < n:
             while next_out not in pending:
-                bid, wid, slot, shm_name, metas, others, err = \
-                    self.result_q.get()
+                try:
+                    bid, wid, slot, shm_name, metas, others, err = \
+                        self.result_q.get(timeout=30)
+                except Exception:  # queue.Empty: check worker liveness
+                    dead = [w.pid for w in self.workers if not w.is_alive()]
+                    if dead:
+                        raise RuntimeError(
+                            f"data worker(s) died (pids {dead}) — batch "
+                            f"{next_out} will never arrive (OOM kill?)")
+                    continue  # workers alive, just a slow batch
                 if err is not None:
                     raise RuntimeError(
                         f"data worker failed on batch {bid}: {err}")

@@ -24,9 +24,18 @@ def build_app(hp):
 
     def edit(audio, text, edited_text, region, edited_region):
         in_sr, wav = audio
+        wav = np.asarray(wav)
+        if wav.dtype.kind == "i":  # gradio numpy audio arrives int16
+            wav = wav.astype(np.float32) / 32768.0
         wav = np.asarray(wav, np.float32)
-        if wav.dtype.kind == "i":
-            wav = wav / 32768.0
+        if wav.ndim == 2:  # stereo -> mono
+            wav = wav.mean(axis=1)
+        if int(in_sr) != sr:
+            from scipy.signal import resample_poly
+
+            g = np.gcd(int(in_sr), sr)
+            wav = resample_poly(wav, sr // g, int(in_sr) // g).astype(
+                np.float32)
         res = wav2spec(wav, sample_rate=sr, fft_size=hp["fft_size"],
                        hop_size=hp["hop_size"], win_length=hp["win_size"],
                        num_mels=hp["audio_num_mel_bins"],

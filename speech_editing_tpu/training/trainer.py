@@ -202,33 +202,34 @@ class Trainer:
         accum = int(hp.get("accumulate_grad_batches", 1) or 1)
 
         loader = self._loader("train", shuffle=True, endless=True)
-        it = iter(loader)
-        first = self._device_batch(next(it))
-        self._build_state(first)
+        try:  # covers ds_workers pool from its very first fork (next(it))
+            it = iter(loader)
+            first = self._device_batch(next(it))
+            self._build_state(first)
 
-        if num_sanity > 0:
-            self.validate(max_batches=num_sanity, log=False)
+            if num_sanity > 0:
+                self.validate(max_batches=num_sanity, log=False)
 
-        use_accum = accum > 1 and not getattr(self.task, "is_gan", False)
-        if use_accum:
-            from speech_editing_tpu.training.train_state import \
-                make_accum_train_step
+            use_accum = accum > 1 and not getattr(self.task, "is_gan", False)
+            if use_accum:
+                from speech_editing_tpu.training.train_state import \
+                    make_accum_train_step
 
-            grad_fn, apply_fn = make_accum_train_step(
-                self.loss_fn, self.tx, mesh=self.mesh)
+                grad_fn, apply_fn = make_accum_train_step(
+                    self.loss_fn, self.tx, mesh=self.mesh)
 
-        t0 = time.time()
-        pending = first
-        try:
+            t0 = time.time()
+            pending = first
             self._train_loop(it, pending, max_updates, val_interval,
                              tb_interval, accum, use_accum,
                              locals().get("grad_fn"), locals().get("apply_fn"),
                              t0)
         except KeyboardInterrupt:
             # save before exiting (reference base_task.py:231 hook)
-            print("| KeyboardInterrupt: saving checkpoint before exit")
-            save_checkpoint(self.work_dir, self.state, self.global_step,
-                            num_ckpt_keep=int(hp.get("num_ckpt_keep", 3)))
+            if self.state is not None:
+                print("| KeyboardInterrupt: saving checkpoint before exit")
+                save_checkpoint(self.work_dir, self.state, self.global_step,
+                                num_ckpt_keep=int(hp.get("num_ckpt_keep", 3)))
             raise
         finally:
             loader.close()  # shut down ds_workers processes promptly

@@ -140,7 +140,8 @@ def test_loader_endless_epochs(corpus):
 
 def test_weighted_sampler_oversamples_stutter(tmp_path, rng):
     """use_weighted_sampler: items with stutter frames appear more often
-    (reference stutter_predictor.py:213-225, opt-in)."""
+    (reference stutter_predictor.py:213-225, opt-in), and repeated draws of
+    one item get DIFFERENT random masks (virtual-index rng keying)."""
     from speech_editing_tpu.data.indexed_dataset import IndexedDatasetBuilder
     from tests.helpers import synth_corpus_items
 
@@ -169,16 +170,32 @@ def test_weighted_sampler_oversamples_stutter(tmp_path, rng):
     ds = EditingDataset("train", hp, shuffle=True)
     w = ds.sample_weights()
     assert w[0] > w[3] and w[1] > w[5]
-    counts = np.zeros(8)
+    real_counts = np.zeros(8)
     for epoch in range(12):
         ds.set_epoch(epoch)
         idx = ds.ordered_indices()
         assert len(idx) == 8
-        counts += np.bincount(idx, minlength=8)
-    assert counts[:2].sum() > counts[2:].sum()  # stutter items oversampled
+        real = ds._index_map[idx]
+        real_counts += np.bincount(real, minlength=8)
+    assert real_counts[:2].sum() > real_counts[2:].sum()  # oversampled
+
+    # two virtual slots hitting the same real item must differ in mask
+    ds.set_epoch(3)
+    for target in range(8):
+        vs = np.where(ds._index_map == target)[0]
+        if len(vs) >= 2:
+            m1 = ds[int(vs[0])]["time_mel_mask"]
+            m2 = ds[int(vs[1])]["time_mel_mask"]
+            assert not np.array_equal(m1, m2), "repeat draws share a mask"
+            break
+    else:
+        pytest.skip("no repeated draw at this seed")
+
     # flag off -> plain permutation, every item exactly once
     hp["use_weighted_sampler"] = False
     ds2 = EditingDataset("train", hp, shuffle=True)
+    ds2.set_epoch(0)
+    assert ds2._index_map is None
     assert sorted(ds2.ordered_indices().tolist()) == list(range(8))
 
 
