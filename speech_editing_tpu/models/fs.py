@@ -158,6 +158,10 @@ class FastSpeech(nn.Module):
     def forward_pitch(self, decoder_inp, time_mel_masks, f0, uv, mel2ph, ret,
                       use_pred_pitch=False, train=False):
         hp = self.hp
+        if f0 is None:  # free-running TTS: everything comes from the predictor
+            f0 = jnp.zeros(mel2ph.shape, decoder_inp.dtype)
+        if uv is None:
+            uv = jnp.zeros(mel2ph.shape, decoder_inp.dtype)
         pitch_padding = mel2ph == 0
         use_uv = hp.get("pitch_type", "frame") == "frame" and hp.get("use_uv", True)
         pitch_inp = decoder_inp
