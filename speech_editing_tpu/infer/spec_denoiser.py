@@ -106,22 +106,28 @@ class SpecDenoiserInfer(BaseInfer):
         }
 
     # -- duration inpainting + splice + diffusion ------------------------------
-    def forward_model(self, item: dict):
-        import jax
+    def inpaint_durations(self, item: dict, spk_embed: np.ndarray):
+        """Device program 1 + host length regulation.
+
+        Runs the duration predictor on the edited tokens (conditioned on the
+        masked ground-truth durations of the untouched words, ref :88-98) and
+        length-regulates HOST-SIDE at the full predicted length: the jitted
+        regulator is bound to a static frame budget, which would truncate
+        lengthening edits; the reference (fs.py:149) regulates to the dynamic
+        sum of predicted durations. Same numeric path as
+        ops/seq_ops.length_regulator: round -> zero padding -> cumsum.
+
+        Returns (edited_mel2ph_pred [T_pred], edited_mel2word [T_pred],
+        edit_frames [T_orig] bool).
+        """
         import jax.numpy as jnp
 
-        hp = self.hp
-        mel = item["mel"]
         mel2ph = item["mel2ph"]
         mel2word = item["mel2word"]
         dur = item["dur"]
         ph2word = item["ph2word"]
         edited_ph2word = item["edited_ph2word"]
-        f0, uv = item["f0"], item["uv"]
-        t_orig = mel.shape[0]
-
         w0, w1 = item["words_region"][0]
-        c0, c1 = item["edited_words_region"][0]
 
         # durations of untouched words anchor the predictor (ref :88-91)
         s_edit = len(edited_ph2word)
@@ -136,17 +142,41 @@ class SpecDenoiserInfer(BaseInfer):
         masked_mel2ph = np.where(edit_frames, 0, mel2ph)
         time_mel_masks_orig = edit_frames.astype(np.float32)
 
-        spk_embed = self.spk_embedder(item["wav"])[None]
-
-        # device program 1: duration inpainting on the edited tokens
         dur_out = self._predict_dur(
             self.variables, jnp.asarray(item["edited_ph_token"])[None],
             jnp.asarray(time_mel_masks_orig)[None, :, None],
             jnp.asarray(masked_mel2ph)[None], jnp.asarray(masked_dur)[None],
             jnp.asarray(spk_embed))
-        edited_mel2ph_pred = np.asarray(dur_out["mel2ph"])[0]  # [T_orig]
-        safe = np.clip(edited_mel2ph_pred, 1, s_edit)
-        edited_mel2word = edited_ph2word[safe - 1] * (edited_mel2ph_pred > 0)
+        dur_pred = np.asarray(dur_out["dur"], np.float32)[0]  # [S_edit]
+        dur_int = np.round(dur_pred).astype(np.int64)
+        dur_int = dur_int * (item["edited_ph_token"] > 0)
+        cum = np.cumsum(dur_int)
+        fm = int(self.hp.get("frames_multiple", 1))
+        t_pred = int(cum[-1]) // fm * fm  # clip_mel2token_to_multiple parity
+        edited_mel2ph_pred = (np.searchsorted(
+            cum, np.arange(t_pred), side="right") + 1).astype(np.int64)
+        edited_mel2word = edited_ph2word[edited_mel2ph_pred - 1]
+        return edited_mel2ph_pred, edited_mel2word, edit_frames
+
+    def forward_model(self, item: dict):
+        import jax
+        import jax.numpy as jnp
+
+        hp = self.hp
+        mel = item["mel"]
+        mel2ph = item["mel2ph"]
+        mel2word = item["mel2word"]
+        edited_ph2word = item["edited_ph2word"]
+        f0, uv = item["f0"], item["uv"]
+        t_orig = mel.shape[0]
+
+        w0, w1 = item["words_region"][0]
+        c0, c1 = item["edited_words_region"][0]
+
+        spk_embed = self.spk_embedder(item["wav"])[None]
+        edited_mel2ph_pred, edited_mel2word, edit_frames = \
+            self.inpaint_durations(item, spk_embed)
+        time_mel_masks_orig = edit_frames.astype(np.float32)
 
         in_changed = (edited_mel2word >= c0) & (edited_mel2word <= c1)
         n_new = int(in_changed.sum())
@@ -162,10 +192,18 @@ class SpecDenoiserInfer(BaseInfer):
         edited_mel2ph_full[head_idx:tail_idx] = edited_mel2ph_pred[in_changed]
         tail_mask = mel2word > w1
         if tail_mask.any():
-            tail_vals = mel2ph[tail_mask]
+            # Map original tail phones 1:1 onto the edited sequence's tail
+            # block: the words after the edit are identical in both texts, so
+            # the phone ids differ by a constant offset. The reference's
+            # `max(changed_pred)+2` heuristic (:107) assumes the predictor
+            # emitted frames for the LAST changed phone and exactly one
+            # separator phone follows — when it doesn't, ids overrun S_edit
+            # and the expand gather goes out of bounds (NaN fill).
+            ph2word = item["ph2word"]
+            first_tail_orig = int(np.sum(ph2word <= w1)) + 1
+            first_tail_edit = int(np.sum(edited_ph2word <= c1)) + 1
             edited_mel2ph_full[tail_idx:] = (
-                tail_vals - tail_vals.min()
-                + int(edited_mel2ph_pred[in_changed].max()) + 2)
+                mel2ph[tail_mask] + (first_tail_edit - first_tail_orig))
 
         # splice ref mel / f0 / uv; masked span stays zero
         ref_mels = np.zeros((t_new, mel.shape[1]), np.float32)

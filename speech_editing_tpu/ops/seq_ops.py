@@ -65,7 +65,9 @@ def expand_states(h: jax.Array, mel2token: jax.Array) -> jax.Array:
     Token id 0 (padding) maps to a zero row (align_ops.py:21-25).
     """
     h = jnp.pad(h, ((0, 0), (1, 0), (0, 0)))
-    return jnp.take_along_axis(h, mel2token[:, :, None], axis=1)
+    # clip, not the jnp default fill: an out-of-range frame->token id must
+    # degrade to the last token, never poison the row with NaNs
+    return jnp.take_along_axis(h, mel2token[:, :, None], axis=1, mode="clip")
 
 
 def mel2token_to_dur(mel2token: jax.Array, T_txt: int,
@@ -95,7 +97,7 @@ def build_word_mask(x2word: jax.Array, y2word: jax.Array) -> jax.Array:
 
 def mel2ph_to_mel2word(mel2ph: jax.Array, ph2word: jax.Array) -> jax.Array:
     mel2word = jnp.take_along_axis(
-        ph2word - 1, jnp.clip(mel2ph - 1, 0, None), axis=1) + 1
+        ph2word - 1, jnp.clip(mel2ph - 1, 0, None), axis=1, mode="clip") + 1
     return mel2word * (mel2ph > 0).astype(mel2word.dtype)
 
 

@@ -125,3 +125,88 @@ def test_region_edit_end_to_end(edit_env):
     # head frames (before edit region) must be preserved from the source
     head = 3  # first frames belong to <BOS>/'this'
     assert np.allclose(mel_out[:head], mel_gt[:head], atol=1e-5)
+
+
+def test_lengthening_edit_not_truncated(edit_env):
+    """A long insertion into a very short source: the predicted edit region
+    must not be clipped at the source frame count (the jitted length
+    regulator runs at a static budget; regulation happens host-side at the
+    full predicted length, matching reference fs.py:149 dynamic behavior)."""
+    from speech_editing_tpu.infer.spec_denoiser import SpecDenoiserInfer
+
+    hp = dict(edit_env)
+    infer_ins = SpecDenoiserInfer(hp)
+
+    sr, hop = 22050, 256
+    n_frames = 12  # tiny source: any real insertion predicts more frames
+    wav = (0.3 * np.sin(2 * np.pi * 150 *
+                        np.arange(n_frames * hop) / sr)).astype(np.float32)
+    mel = (np.random.RandomState(1).randn(n_frames, 80) * 0.3 - 2
+           ).astype(np.float32)
+    tp = get_txt_processor_cls("en")
+    ph, *_ = txt_to_ph(tp, "this is a test sentence")
+    s = len(ph.split(" "))
+    mel2ph = np.minimum(np.arange(n_frames) * s // n_frames + 1, s)
+
+    item = infer_ins.preprocess_input({
+        "item_name": "tiny",
+        "text": "this is a test sentence",
+        "edited_text": "this is a wonderful magnificent extraordinary "
+                       "test sentence",
+        "region": "[3,4]", "edited_region": "[3,7]",
+        "mel": mel, "wav": wav, "mel2ph": mel2ph,
+    })
+    spk = infer_ins.spk_embedder(item["wav"])[None]
+    pred_m2p, pred_m2w, edit_frames = infer_ins.inpaint_durations(item, spk)
+
+    # full predicted length, never bounded by the 12-frame source
+    # (~40 edited phones at >=1 predicted frame each under the seeded init)
+    assert len(pred_m2p) > n_frames
+    assert len(pred_m2p) == len(pred_m2w)
+    assert pred_m2p.max() <= len(item["edited_ph2word"])
+    assert (np.diff(pred_m2p) >= 0).all()  # monotone frame->phone map
+
+    # end-to-end still composes a finite output with the full edit span
+    wav_out, _, mel_out, *_ = infer_ins.forward_model(item)
+    c0, c1 = item["edited_words_region"][0]
+    n_new = int(((pred_m2w >= c0) & (pred_m2w <= c1)).sum())
+    head = int(np.sum(item["mel2word"] < item["words_region"][0][0]))
+    tail = int(np.sum(item["mel2word"] > item["words_region"][0][1]))
+    assert mel_out.shape[0] == head + n_new + tail
+    assert np.isfinite(mel_out).all() and np.isfinite(wav_out).all()
+
+
+def test_shortening_edit_zero_changed_frames(edit_env):
+    """Shortening edit where the untrained predictor may emit ZERO frames for
+    the changed words: the tail phone ids must map 1:1 onto the edited
+    sequence's tail block (never overrun S_edit -> NaN via OOB gather fill),
+    and the composite must stay finite."""
+    from speech_editing_tpu.infer.spec_denoiser import SpecDenoiserInfer
+
+    hp = dict(edit_env)
+    infer_ins = SpecDenoiserInfer(hp)
+
+    sr, hop, n_frames = 22050, 256, 80
+    wav = (0.3 * np.sin(2 * np.pi * 150 *
+                        np.arange(n_frames * hop) / sr)).astype(np.float32)
+    mel = (np.random.RandomState(7).randn(n_frames, 80) * 0.3 - 2
+           ).astype(np.float32)
+    tp = get_txt_processor_cls("en")
+    ph, *_ = txt_to_ph(tp, "this is a test sentence")
+    s = len(ph.split(" "))
+    mel2ph = np.minimum(np.arange(n_frames) * s // n_frames + 1, s)
+
+    item = infer_ins.preprocess_input({
+        "item_name": "shorten",
+        "text": "this is a test sentence",
+        "edited_text": "this is short",
+        "region": "[3,5]", "edited_region": "[3,3]",
+        "mel": mel, "wav": wav, "mel2ph": mel2ph,
+    })
+    wav_out, _, mel_out, mel_gt, ref_mels, _ = infer_ins.forward_model(item)
+    assert np.isfinite(mel_out).all() and np.isfinite(wav_out).all()
+    # shortening: output must be shorter than the source
+    assert 0 < mel_out.shape[0] < n_frames
+    # head preserved bit-exact outside the mask
+    head = int(np.sum(item["mel2word"] < item["words_region"][0][0]))
+    assert np.allclose(mel_out[:min(head, 5)], mel_gt[:min(head, 5)], atol=1e-5)
