@@ -10,6 +10,45 @@ from __future__ import annotations
 import numpy as np
 
 
+def _align_textgrid(hp, wav: np.ndarray, text: str):
+    """Force-align one uploaded clip with MFA if the binary + models are on
+    this host (``mfa_dict``/``mfa_model`` hparams); else return None."""
+    import shutil as _shutil
+    import subprocess
+    import tempfile
+
+    dict_path = hp.get("mfa_dict", "")
+    model_path = hp.get("mfa_model", "")
+    if not (_shutil.which("mfa") and dict_path and model_path):
+        return None
+    import os
+
+    from speech_editing_tpu.utils.audio.io import save_wav
+    from speech_editing_tpu.utils.text.processors import (
+        get_txt_processor_cls, txt_to_ph)
+    from speech_editing_tpu.utils.text.text_encoder import is_sil_phoneme
+
+    tmp = tempfile.mkdtemp(prefix="gradio_mfa_")
+    corpus, out_dir = f"{tmp}/corpus", f"{tmp}/out"
+    os.makedirs(corpus, exist_ok=True)
+    save_wav(wav, f"{corpus}/item.wav", int(hp["audio_sample_rate"]))
+    *_, ph_gb_word = txt_to_ph(
+        get_txt_processor_cls(hp.get("language", "en")), text)
+    words_nosil = [
+        "_".join([p for p in w.split("_") if not is_sil_phoneme(p)])
+        for w in ph_gb_word.split(" ") if not is_sil_phoneme(w)]
+    with open(f"{corpus}/item.lab", "w") as f:
+        f.write(" ".join(words_nosil))
+    try:
+        subprocess.run(["mfa", "align", "-j", "1", "--clean", corpus,
+                        dict_path, model_path, out_dir], check=True,
+                       capture_output=True, timeout=600)
+    except (subprocess.SubprocessError, OSError):
+        return None
+    tg = f"{out_dir}/item.TextGrid"
+    return tg if os.path.exists(tg) else None
+
+
 def build_app(hp):
     try:
         import gradio as gr  # type: ignore
@@ -43,8 +82,21 @@ def build_app(hp):
         inp = {"item_name": "gradio", "text": text,
                "edited_text": edited_text, "region": region,
                "edited_region": edited_region,
-               "mel": res["mel"], "wav": res["wav"],
-               "mfa_textgrid": hp.get("gradio_textgrid", "")}
+               "mel": res["mel"], "wav": res["wav"]}
+        tg = _align_textgrid(hp, res["wav"], text)
+        if tg is not None:
+            inp["mfa_textgrid"] = tg
+        else:
+            # no MFA on this host: approximate with a uniform alignment so
+            # the demo still runs (edit-region boundaries are then coarse)
+            from speech_editing_tpu.utils.text.processors import (
+                get_txt_processor_cls, txt_to_ph)
+
+            ph, *_ = txt_to_ph(get_txt_processor_cls(
+                hp.get("language", "en")), text)
+            s = len(ph.split(" "))
+            t = res["mel"].shape[0]
+            inp["mel2ph"] = np.minimum(np.arange(t) * s // t + 1, s)
         wav_out, *_ = infer_ins.infer_once(inp)
         return (sr, (np.clip(wav_out, -1, 1) * 32767).astype(np.int16))
 

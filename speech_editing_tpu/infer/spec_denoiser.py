@@ -77,7 +77,8 @@ class SpecDenoiserInfer(BaseInfer):
         mel = np.asarray(inp["mel"], np.float32)
         wav = np.asarray(inp["wav"], np.float32)
         if "mel2ph" in inp:  # precomputed alignment (testing / no-MFA path)
-            mel2ph = list(inp["mel2ph"])
+            mel2ph = list(inp["mel2ph"])[:mel.shape[0]]
+            mel2ph += [0] * (mel.shape[0] - len(mel2ph))
             from speech_editing_tpu.utils.audio.align import mel2token_to_dur
             dur = mel2token_to_dur(np.asarray(mel2ph), len(ph_token)).tolist()
         else:
@@ -85,7 +86,9 @@ class SpecDenoiserInfer(BaseInfer):
                 inp["mfa_textgrid"], ph, ph_token, mel,
                 hop_size=self.hp["hop_size"],
                 sample_rate=self.hp["audio_sample_rate"])
-        mel2word = [ph2word[p - 1] for p in mel2ph]
+        # padding frames (mel2ph==0) belong to no word — keep them 0 so the
+        # head/tail splice drops them instead of counting them as words
+        mel2word = [ph2word[p - 1] if p > 0 else 0 for p in mel2ph]
         f0, uv = extract_f0_uv(wav, mel, hop_size=self.hp["hop_size"],
                                sample_rate=self.hp["audio_sample_rate"],
                                f0_min=self.hp.get("f0_min", 80),
@@ -129,12 +132,17 @@ class SpecDenoiserInfer(BaseInfer):
         edited_ph2word = item["edited_ph2word"]
         w0, w1 = item["words_region"][0]
 
-        # durations of untouched words anchor the predictor (ref :88-91)
+        # durations of untouched words anchor the predictor (ref :88-91);
+        # anchor the tail block by the EDITED sequence's tail size — if
+        # context-dependent g2p re-phonemized the tail differently, clamp to
+        # the overlap instead of writing through the changed region
         s_edit = len(edited_ph2word)
+        c1 = item["edited_words_region"][0][1]
         masked_dur = np.zeros(s_edit, np.int64)
         n_head_ph = int(np.sum(ph2word < w0))
         masked_dur[:n_head_ph] = dur[:n_head_ph]
-        n_tail_ph = int(np.sum(ph2word > w1))
+        n_tail_ph = min(int(np.sum(ph2word > w1)),
+                        int(np.sum(edited_ph2word > c1)))
         if n_tail_ph > 0:
             masked_dur[-n_tail_ph:] = dur[-n_tail_ph:]
 
@@ -180,17 +188,15 @@ class SpecDenoiserInfer(BaseInfer):
 
         in_changed = (edited_mel2word >= c0) & (edited_mel2word <= c1)
         n_new = int(in_changed.sum())
-        n_old = int(edit_frames.sum())
-        length_edited = n_new - n_old
-        t_new = t_orig + length_edited
-        head_idx = int(np.sum(mel2word < w0))
-        tail_idx = int(np.sum(mel2word <= w1)) + length_edited
+        head_idx = int(np.sum((mel2word >= 1) & (mel2word < w0)))
+        tail_mask = mel2word > w1
+        tail_idx = head_idx + n_new
+        t_new = head_idx + n_new + int(tail_mask.sum())
 
         # splice frame-level alignment [head | predicted edit | shifted tail]
         edited_mel2ph_full = np.zeros(t_new, np.int64)
         edited_mel2ph_full[:head_idx] = mel2ph[:head_idx]
         edited_mel2ph_full[head_idx:tail_idx] = edited_mel2ph_pred[in_changed]
-        tail_mask = mel2word > w1
         if tail_mask.any():
             # Map original tail phones 1:1 onto the edited sequence's tail
             # block: the words after the edit are identical in both texts, so
@@ -200,10 +206,25 @@ class SpecDenoiserInfer(BaseInfer):
             # separator phone follows — when it doesn't, ids overrun S_edit
             # and the expand gather goes out of bounds (NaN fill).
             ph2word = item["ph2word"]
-            first_tail_orig = int(np.sum(ph2word <= w1)) + 1
-            first_tail_edit = int(np.sum(edited_ph2word <= c1)) + 1
-            edited_mel2ph_full[tail_idx:] = (
-                mel2ph[tail_mask] + (first_tail_edit - first_tail_orig))
+            s_edit = len(edited_ph2word)
+            n_tail_ph_orig = int(np.sum(ph2word > w1))
+            n_tail_ph_edit = int(np.sum(edited_ph2word > c1))
+            if n_tail_ph_orig != n_tail_ph_edit:
+                # context-dependent g2p (POS homographs) re-phonemized the
+                # unchanged tail differently — the constant offset no longer
+                # holds; stretch by dense rank so ids stay in the tail block
+                print(f"| WARN: tail g2p mismatch for "
+                      f"{item.get('item_name')}: {n_tail_ph_orig} vs "
+                      f"{n_tail_ph_edit} phones; using rank remap")
+                tail_vals = mel2ph[tail_mask]
+                _, dense = np.unique(tail_vals, return_inverse=True)
+                edited_mel2ph_full[tail_idx:] = np.minimum(
+                    s_edit - n_tail_ph_edit + 1 + dense, s_edit)
+            else:
+                first_tail_orig = int(np.sum(ph2word <= w1)) + 1
+                first_tail_edit = int(np.sum(edited_ph2word <= c1)) + 1
+                edited_mel2ph_full[tail_idx:] = (
+                    mel2ph[tail_mask] + (first_tail_edit - first_tail_orig))
 
         # splice ref mel / f0 / uv; masked span stays zero
         ref_mels = np.zeros((t_new, mel.shape[1]), np.float32)
@@ -220,8 +241,18 @@ class SpecDenoiserInfer(BaseInfer):
         time_mel_masks = np.zeros((t_new, 1), np.float32)
         time_mel_masks[head_idx:tail_idx] = 1.0
 
+        # the model clips mel2ph to frames_multiple (fs.forward_dur) — keep
+        # every spliced array on the same floored grid or shapes diverge
+        fm = int(hp.get("frames_multiple", 1))
+        if fm > 1 and t_new // fm * fm > 0:
+            t_new = t_new // fm * fm
+            edited_mel2ph_full = edited_mel2ph_full[:t_new]
+            ref_mels = ref_mels[:t_new]
+            edited_f0 = edited_f0[:t_new]
+            edited_uv = edited_uv[:t_new]
+            time_mel_masks = time_mel_masks[:t_new]
+
         # device program 2: reverse diffusion over the masked span
-        import jax.numpy as jnp
         out = self._infer(
             self.variables, jnp.asarray(item["edited_ph_token"])[None],
             jnp.asarray(time_mel_masks)[None],
@@ -249,7 +280,8 @@ class SpecDenoiserInfer(BaseInfer):
         for data_info in dataset_info:
             res = wav2spec(data_info["wav_fn_orig"],
                            sample_rate=hp["audio_sample_rate"],
-                           n_fft=hp["fft_size"], hop_size=hp["hop_size"],
+                           fft_size=hp["fft_size"], hop_size=hp["hop_size"],
+                           win_length=hp.get("win_size", hp["fft_size"]),
                            num_mels=hp["audio_num_mel_bins"],
                            fmin=hp["fmin"], fmax=hp["fmax"])
             inp = dict(data_info)

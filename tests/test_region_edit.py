@@ -210,3 +210,68 @@ def test_shortening_edit_zero_changed_frames(edit_env):
     # head preserved bit-exact outside the mask
     head = int(np.sum(item["mel2word"] < item["words_region"][0][0]))
     assert np.allclose(mel_out[:min(head, 5)], mel_gt[:min(head, 5)], atol=1e-5)
+
+
+def test_example_run_csv_driver(edit_env, tmp_path):
+    """The CSV batch driver end-to-end (no MFA: rows carry precomputed
+    mel2ph): wav2spec kwargs must match, wavs must be written."""
+    from speech_editing_tpu.infer.spec_denoiser import SpecDenoiserInfer
+    from speech_editing_tpu.utils.audio.io import save_wav
+
+    hp = dict(edit_env)
+    sr, hop, n_frames = 22050, 256, 40
+    wav = (0.3 * np.sin(2 * np.pi * 150 *
+                        np.arange(n_frames * hop) / sr)).astype(np.float32)
+    wav_fn = str(tmp_path / "src.wav")
+    save_wav(wav, wav_fn, sr)
+
+    tp = get_txt_processor_cls("en")
+    ph, *_ = txt_to_ph(tp, "this is a test sentence")
+    s = len(ph.split(" "))
+    # example_run recomputes the mel from the wav file; frame count may
+    # differ by edge padding, so build mel2ph generously long and let
+    # preprocess_input truncate via the mel length
+    t_max = n_frames + 8
+    mel2ph = np.minimum(np.arange(t_max) * s // t_max + 1, s)
+
+    rows = [{
+        "item_name": "csv_item",
+        "text": "this is a test sentence",
+        "edited_text": "this is a wonderful test sentence",
+        "region": "[3,4]", "edited_region": "[3,5]",
+        "wav_fn_orig": wav_fn, "mel2ph": mel2ph,
+    }]
+    out_dir = str(tmp_path / "out")
+    SpecDenoiserInfer.example_run(rows, hp, out_dir=out_dir)
+    assert os.path.exists(f"{out_dir}/csv_item.wav")
+    assert os.path.exists(f"{out_dir}/csv_item_ref.wav")
+
+
+def test_frames_multiple_grid(edit_env):
+    """With frames_multiple>1 the model clips mel2ph to the multiple — the
+    spliced ref/f0/uv/mask arrays must ride the same floored grid."""
+    from speech_editing_tpu.infer.spec_denoiser import SpecDenoiserInfer
+
+    hp = dict(edit_env)
+    hp["frames_multiple"] = 4
+    infer_ins = SpecDenoiserInfer(hp)
+
+    sr, hop, n_frames = 22050, 256, 61  # deliberately not a multiple of 4
+    wav = (0.3 * np.sin(2 * np.pi * 150 *
+                        np.arange(n_frames * hop) / sr)).astype(np.float32)
+    mel = (np.random.RandomState(3).randn(n_frames, 80) * 0.3 - 2
+           ).astype(np.float32)
+    tp = get_txt_processor_cls("en")
+    ph, *_ = txt_to_ph(tp, "this is a test sentence")
+    s = len(ph.split(" "))
+    mel2ph = np.minimum(np.arange(n_frames) * s // n_frames + 1, s)
+
+    wav_out, _, mel_out, *_ = infer_ins.infer_once({
+        "item_name": "fm4",
+        "text": "this is a test sentence",
+        "edited_text": "this is a wonderful test sentence",
+        "region": "[3,4]", "edited_region": "[3,5]",
+        "mel": mel, "wav": wav, "mel2ph": mel2ph,
+    })
+    assert mel_out.shape[0] % 4 == 0
+    assert np.isfinite(mel_out).all() and np.isfinite(wav_out).all()
