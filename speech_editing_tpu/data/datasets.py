@@ -66,10 +66,13 @@ class BaseDataset:
         return int(self._index_map[index]) if self._index_map is not None \
             else index
 
+    _rng_salt = 0  # ConcatDataset threads the virtual index through here
+
     def _item_rng(self, index: int) -> np.random.RandomState:
         seed = int(self.hp.get("seed", 1234))
         return np.random.RandomState(
-            (seed * 1000003 + self.epoch * 10007 + index) % (2 ** 31))
+            (seed * 1000003 + self.epoch * 10007 + index
+             + self._rng_salt * 97003) % (2 ** 31))
 
     def __len__(self):
         return len(self.sizes)
@@ -273,13 +276,34 @@ class ConcatDataset(BaseDataset):
         self._offsets = np.cumsum([0] + [len(d) for d in datasets])
 
     def set_epoch(self, epoch: int):
+        # weighted sampling is owned at the CONCAT level: children must not
+        # build their own virtual->real maps, or the concat-level sizes used
+        # for token-budget batching would describe the wrong items
         super().set_epoch(epoch)
         for d in self.datasets:
             d.set_epoch(epoch)
+            d._index_map = None
+
+    def sample_weights(self):
+        ws = [d.sample_weights() for d in self.datasets]
+        if all(w is None for w in ws):
+            return None
+        return np.concatenate([
+            np.ones(len(d), np.float64) if w is None else np.asarray(w)
+            for d, w in zip(self.datasets, ws)])
 
     def __getitem__(self, index: int) -> dict:
-        ds_idx = int(np.searchsorted(self._offsets, index, side="right") - 1)
-        return self.datasets[ds_idx][index - self._offsets[ds_idx]]
+        real = self._real_index(index)
+        ds_idx = int(np.searchsorted(self._offsets, real, side="right") - 1)
+        d = self.datasets[ds_idx]
+        # salt the child's per-item rng with the virtual index so repeated
+        # weighted draws of one item get independent random masks (access is
+        # sequential per loader thread/worker, so the attr swap is safe)
+        d._rng_salt = index - real
+        try:
+            return d[real - self._offsets[ds_idx]]
+        finally:
+            d._rng_salt = 0
 
     def collater(self, samples: list) -> dict:
         return self.datasets[0].collater(samples)
@@ -314,6 +338,13 @@ class WordSpeechDataset(EditingDataset):
             batch["mel2word"] = collate_1d_or_2d(
                 [s["mel2word"] for s in samples], 0, size_multiple=sm)
         return batch
+
+
+class _ProducerFailure:
+    """Exception carrier from the loader's producer thread to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
 
 
 class DataLoader:
@@ -384,23 +415,53 @@ class DataLoader:
 
             q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
             stop = object()
+            cancel = threading.Event()
+
+            def guarded_put(item) -> bool:
+                """Bounded put that gives up when the consumer is gone."""
+                while not cancel.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        return True
+                    except queue_mod.Full:
+                        continue
+                return False
 
             def producer():
                 try:
                     for idxs in batches:
+                        if cancel.is_set():
+                            return
                         samples = [self.dataset[i] for i in idxs]
-                        q.put(self.dataset.collater(samples))
+                        if not guarded_put(self.dataset.collater(samples)):
+                            return
+                except BaseException as e:  # surface in the consumer loudly
+                    guarded_put(_ProducerFailure(e))
                 finally:
-                    q.put(stop)
+                    guarded_put(stop)
 
             th = threading.Thread(target=producer, daemon=True)
             th.start()
-            while True:
-                b = q.get()
-                if b is stop:
-                    break
-                yield b
-            th.join()
+            try:
+                while True:
+                    b = q.get()
+                    if b is stop:
+                        break
+                    if isinstance(b, _ProducerFailure):
+                        raise RuntimeError(
+                            "DataLoader worker failed while producing a "
+                            "batch") from b.exc
+                    yield b
+            finally:
+                # early abandon (sanity-val break, test first-batch peek):
+                # unblock and retire the producer instead of leaking it
+                cancel.set()
+                try:
+                    while True:
+                        q.get_nowait()
+                except queue_mod.Empty:
+                    pass
+                th.join(timeout=5)
             self._epoch += 1
             if not self.endless:
                 return

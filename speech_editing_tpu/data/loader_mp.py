@@ -145,9 +145,19 @@ class MPBatchPool:
         for w in self.workers:
             w.start()
         self._attached: dict[str, shared_memory.SharedMemory] = {}
+        self._slot_names: dict[tuple, str] = {}  # (wid, slot) -> shm name
         self._closed = False
 
     def _read_batch(self, wid, slot, shm_name, metas, others) -> dict:
+        # a grown slot arrives under a NEW segment name: detach the
+        # superseded (worker-unlinked) one or its pages stay resident in
+        # the parent for the pool's lifetime
+        prev = self._slot_names.get((wid, slot))
+        if prev is not None and prev != shm_name:
+            old = self._attached.pop(prev, None)
+            if old is not None:
+                old.close()
+        self._slot_names[(wid, slot)] = shm_name
         shm = self._attached.get(shm_name)
         if shm is None:
             # NOTE: on 3.12 attaching re-registers the name with the

@@ -3,9 +3,12 @@
 Parity surface: ``tasks/vocoder/dataset_utils.py`` (VocoderDataset :44-130):
 items shorter than the crop are skipped, training crops are
 ``max_samples // hop_size`` frames picked at a random frame offset (wav crop
-= frame crop * hop), test keeps full length. The reference's
-EndlessDistributedSampler is subsumed by the endless DataLoader + mesh batch
-sharding.
+= frame crop * hop); test "crops" to ``len(c) - 1`` frames from offset 0 —
+the reference's exact infer behavior (:91, batch_max_frames==0 branch),
+kept for parity. The reference's EndlessDistributedSampler is subsumed by
+the endless DataLoader + mesh batch sharding. ``mel_lengths`` is emitted so
+padded multi-item test batches truncate per item instead of writing
+zero-padding tails.
 
 TPU-first: every training batch has the SAME static shape (crop length), so
 the GAN train step compiles exactly once.
@@ -83,6 +86,7 @@ class VocoderDataset(BaseDataset):
             "mels": collate_2d(cs, 0.0),        # [B, T', 80]
             "pitches": collate_1d(ps, 0),
             "f0": collate_1d(f0s, 0.0),
+            "mel_lengths": np.asarray([len(c) for c in cs], np.int64),
             "item_name": names,
             "nsamples": len(names),
         }

@@ -59,7 +59,9 @@ def save_checkpoint(work_dir: str, state: Any, steps: int, epoch: int = 0,
         best_loss = np.inf
         if os.path.exists(best_path):
             with open(best_path, "rb") as f:
-                best_loss = pickle.load(f).get("val_loss", np.inf) or np.inf
+                stored = pickle.load(f).get("val_loss")
+            # explicit None check: a stored val_loss of 0.0 is a valid best
+            best_loss = np.inf if stored is None else stored
         if val_loss < best_loss:
             tmp = best_path + ".part"
             with open(tmp, "wb") as f:

@@ -22,7 +22,7 @@ class A3TTask(BaseTask):
         return A3T(vocab_size=self.vocab_size, hp=self.hp,
                    out_dims=self.hp.get("audio_num_mel_bins", 80))
 
-    def make_loss_fn(self, model):
+    def make_loss_fn(self, model, train: bool = True):
         hp = self.hp
         mel_spec = hp.get("mel_losses", "l1:0.5|ssim:0.5")
 
@@ -30,7 +30,7 @@ class A3TTask(BaseTask):
             tm = batch["time_mel_masks"][..., None].astype(jnp.float32)
             out = model.apply({"params": params}, batch["txt_tokens"],
                               batch["mels"], batch["mel2ph"], tm,
-                              train=True, rngs={"dropout": rng})
+                              train=train, rngs={"dropout": rng})
             losses: dict = {}
             add_mel_loss(losses, out["mel_out_decoder"] * tm,
                          batch["mels"] * tm, mel_spec, postfix="_coarse")

@@ -64,7 +64,9 @@ class BaseTask:
     def build_model(self):
         raise NotImplementedError
 
-    def make_loss_fn(self, model):
+    def make_loss_fn(self, model, train: bool = True):
+        """Loss closure; ``train=False`` builds the validation variant
+        (deterministic dropout) used by the eval step."""
         raise NotImplementedError
 
     def init_model(self, model, batch, rng):

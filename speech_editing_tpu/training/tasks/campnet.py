@@ -24,14 +24,14 @@ class CampNetTask(BaseTask):
         return CampNet(vocab_size=self.vocab_size, hp=self.hp,
                        out_dims=self.hp.get("audio_num_mel_bins", 80))
 
-    def make_loss_fn(self, model):
+    def make_loss_fn(self, model, train: bool = True):
         hp = self.hp
         mel_spec = hp.get("mel_losses", "l1:0.5|ssim:0.5")
 
         def loss_fn(params, batch, rng):
             tm = batch["time_mel_masks"][..., None].astype(jnp.float32)
             out = model.apply({"params": params}, batch["txt_tokens"],
-                              batch["mels"], tm, train=True,
+                              batch["mels"], tm, train=train,
                               rngs={"dropout": rng})
             losses: dict = {}
             add_mel_loss(losses, out["mel_out_coarse"] * tm,

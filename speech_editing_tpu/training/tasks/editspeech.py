@@ -21,7 +21,7 @@ class EditSpeechTask(BaseTask):
         return EditSpeech(vocab_size=self.vocab_size, hp=self.hp,
                           out_dims=self.hp.get("audio_num_mel_bins", 80))
 
-    def make_loss_fn(self, model):
+    def make_loss_fn(self, model, train: bool = True):
         hp = self.hp
         mel_spec = hp.get("mel_losses", "l1:0.5|ssim:0.5")
         sil_ids = self.sil_token_ids
@@ -32,7 +32,7 @@ class EditSpeechTask(BaseTask):
             out = model.apply(
                 {"params": params}, batch["txt_tokens"], tm,
                 batch["mel2ph"], batch.get("spk_embed"), batch["mels"],
-                batch["f0"], batch["uv"], infer=False, train=True,
+                batch["f0"], batch["uv"], infer=False, train=train,
                 rng=k_tf, rngs={"dropout": k_drop})
             losses: dict = {}
             add_mel_loss(losses, out["forward_outputs"] * tm,

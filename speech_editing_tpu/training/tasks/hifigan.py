@@ -53,9 +53,10 @@ class _Discriminators:
         self.msd = MultiScaleDiscriminator()
 
     def init(self, rng, y, y_hat):
+        # jitted init: eager flax init dispatches op-by-op (minutes on CPU)
         k1, k2 = jax.random.split(rng)
-        return {"mpd": self.mpd.init(k1, y, y_hat)["params"],
-                "msd": self.msd.init(k2, y, y_hat)["params"]}
+        return {"mpd": jax.jit(self.mpd.init)(k1, y, y_hat)["params"],
+                "msd": jax.jit(self.msd.init)(k2, y, y_hat)["params"]}
 
     def apply(self, params, y, y_hat):
         p = self.mpd.apply({"params": params["mpd"]}, y, y_hat)

@@ -46,15 +46,16 @@ class PortaSpeechTask(BaseTask):
             vocab_size=self.vocab_size, word_dict_size=self.word_dict_size,
             hp=self.hp, out_dims=self.hp.get("audio_num_mel_bins", 80))
 
-    def _apply_train(self, model, params, batch, rng, k_drop):
+    def _apply_train(self, model, params, batch, rng, k_drop,
+                     train: bool = True):
         return model.apply(
             {"params": params}, batch["txt_tokens"], batch["word_tokens"],
             batch["ph2word"], mel2word=batch["mel2word"],
             spk_embed=batch.get("spk_embed"), pitch=batch.get("pitch"),
-            tgt_mels=batch["mels"], infer=False, rng=rng, train=True,
+            tgt_mels=batch["mels"], infer=False, rng=rng, train=train,
             rngs={"dropout": k_drop})
 
-    def make_loss_fn(self, model):
+    def make_loss_fn(self, model, train: bool = True):
         hp = self.hp
         mel_spec = hp.get("mel_losses", "l1:0.5|ssim:0.5")
         lambda_kl = float(hp.get("lambda_kl", 1.0))
@@ -65,7 +66,7 @@ class PortaSpeechTask(BaseTask):
         def loss_fn(params, batch, rng):
             k_vae, k_drop = jax.random.split(rng)
             out = self._apply_train(model, params, batch, rng=k_vae,
-                                    k_drop=k_drop)
+                                    k_drop=k_drop, train=train)
             losses: dict = {}
             t = out["mel_out"].shape[1]
             add_mel_loss(losses, out["mel_out"], batch["mels"][:, :t], mel_spec)

@@ -35,12 +35,12 @@ class PortaSpeechAdvTask(PortaSpeechTask):
         gen_vars = self.init_model(model, batch, k_g)
         mels = jnp.asarray(batch["mels"])
         x_len = jnp.asarray((batch["mel2word"] > 0).sum(-1))
-        disc_params = disc.init(k_d, mels, x_len,
-                                rng=jax.random.PRNGKey(0))["params"]
+        disc_params = jax.jit(disc.init)(
+            k_d, mels, x_len, rng=jax.random.PRNGKey(0))["params"]
         self.gen_tx = build_optimizer(self.hp)
-        self.disc_tx = build_optimizer(
-            self.hp.replace(lr=self.hp.get("disc_lr", self.hp["lr"]))
-            if hasattr(self.hp, "replace") else self.hp)
+        disc_hp = dict(self.hp)
+        disc_hp["lr"] = self.hp.get("disc_lr", self.hp["lr"])
+        self.disc_tx = build_optimizer(disc_hp)
         return GanTrainState(
             step=jnp.zeros((), jnp.int32),
             gen_params=gen_vars["params"],
@@ -136,7 +136,7 @@ class PortaSpeechAdvTask(PortaSpeechTask):
         return jax.jit(step_fn, donate_argnums=(0,))
 
     def make_gan_eval_step(self, model, disc):
-        base_loss = super().make_loss_fn(model)
+        base_loss = super().make_loss_fn(model, train=False)
 
         def eval_fn(state_params, batch, rng):
             total, metrics = base_loss(state_params["gen"], batch, rng)

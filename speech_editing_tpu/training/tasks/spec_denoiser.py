@@ -30,7 +30,7 @@ def build_model(vocab_size: int, hp: Any) -> GaussianDiffusion:
 
 
 def make_loss_fn(model: GaussianDiffusion, hp: Any,
-                 sil_token_ids: Sequence[int] = ()):
+                 sil_token_ids: Sequence[int] = (), train: bool = True):
     """Training loss closure. Batch keys (reference collate,
     ``tasks/speech_editing/dataset_utils.py:148-170``): txt_tokens [B,S],
     mels [B,T,80], mel2ph [B,T], f0 [B,T], uv [B,T], time_mel_masks [B,T],
@@ -45,7 +45,7 @@ def make_loss_fn(model: GaussianDiffusion, hp: Any,
         out = model.apply(
             {"params": params}, batch["txt_tokens"], tm, batch["mel2ph"],
             batch.get("spk_embed"), batch["mels"], batch["f0"], batch["uv"],
-            infer=False, rng=k_diff, train=True, rngs={"dropout": k_drop})
+            infer=False, rng=k_diff, train=train, rngs={"dropout": k_drop})
         losses: dict = {}
         add_mel_loss(losses, out["mel_out"] * tm, batch["mels"] * tm,
                      mel_spec, postfix="_coarse")
@@ -68,5 +68,6 @@ class SpecDenoiserTask(BaseTask):
     def build_model(self):
         return build_model(self.vocab_size, self.hp)
 
-    def make_loss_fn(self, model):
-        return make_loss_fn(model, self.hp, sil_token_ids=self.sil_token_ids)
+    def make_loss_fn(self, model, train: bool = True):
+        return make_loss_fn(model, self.hp, sil_token_ids=self.sil_token_ids,
+                            train=train)

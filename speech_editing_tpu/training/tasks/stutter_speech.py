@@ -41,7 +41,7 @@ class StutterSpeechTask(BaseTask):
             vocab_size=self.vocab_size, hp=self.hp,
             out_dims=self.hp.get("audio_num_mel_bins", 80))
 
-    def make_loss_fn(self, model):
+    def make_loss_fn(self, model, train: bool = True):
         hp = self.hp
         mel_spec = hp.get("mel_losses", "l1:0.5|ssim:0.5")
         sil_ids = self.sil_token_ids
@@ -55,7 +55,7 @@ class StutterSpeechTask(BaseTask):
                 {"params": params}, batch["txt_tokens"], tm, labels,
                 batch["mel2ph"], batch.get("spk_embed"), batch["mels"],
                 batch["f0"], batch["uv"], infer=False, rng=k_diff,
-                train=True, rngs={"dropout": k_drop})
+                train=train, rngs={"dropout": k_drop})
             losses: dict = {}
             add_mel_loss(losses, out["mel_out"] * tm, batch["mels"] * tm,
                          mel_spec, postfix="_coarse")
@@ -117,11 +117,11 @@ class StutterPredictorTask(BaseTask):
         blk = stutter_mel_masks.reshape(b, t // bs, bs).sum(-1)
         return jnp.where(blk > 0, 1, jnp.where(blk < 0, 2, 0)).astype(jnp.int32)
 
-    def make_loss_fn(self, model):
+    def make_loss_fn(self, model, train: bool = True):
         def loss_fn(params, batch, rng):
             labels = self._block_labels(batch["stutter_mel_masks"])
             out = model.apply({"params": params}, batch["txt_tokens"],
-                              batch["mels"], batch["mel2ph"], train=True,
+                              batch["mels"], batch["mel2ph"], train=train,
                               rngs={"dropout": rng})
             logits = out["logits"]
             # decaying CE weight min(1e-2, 1e-2*6000/step)

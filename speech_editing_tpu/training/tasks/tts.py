@@ -31,7 +31,7 @@ class FastSpeechTask(BaseTask):
     def build_model(self):
         return FastSpeech(self.vocab_size, self.hp)
 
-    def make_loss_fn(self, model):
+    def make_loss_fn(self, model, train: bool = True):
         hp = self.hp
         mel_spec = hp.get("mel_losses", "l1:0.5|ssim:0.5")
         sil_ids = self.sil_token_ids
@@ -41,7 +41,7 @@ class FastSpeechTask(BaseTask):
             out = model.apply(
                 {"params": params}, batch["txt_tokens"],
                 mel2ph=batch["mel2ph"], spk_embed=batch.get("spk_embed"),
-                f0=batch["f0"], uv=batch["uv"], infer=False, train=True,
+                f0=batch["f0"], uv=batch["uv"], infer=False, train=train,
                 rngs={"dropout": rng})
             losses: dict = {}
             add_mel_loss(losses, out["mel_out"], batch["mels"], mel_spec)
@@ -77,7 +77,7 @@ class FastSpeech2OrigTask(FastSpeechTask):
     def build_model(self):
         return FastSpeech2Orig(self.vocab_size, self.hp)
 
-    def make_loss_fn(self, model):
+    def make_loss_fn(self, model, train: bool = True):
         hp = self.hp
         base_loss = None
         mel_spec = hp.get("mel_losses", "l1:0.5|ssim:0.5")
@@ -93,7 +93,7 @@ class FastSpeech2OrigTask(FastSpeechTask):
                 mel2ph=batch["mel2ph"], spk_embed=batch.get("spk_embed"),
                 f0=None if cwt else batch["f0"],
                 uv=None if cwt else batch["uv"],
-                energy=energy, infer=False, train=True,
+                energy=energy, infer=False, train=train,
                 rngs={"dropout": rng})
             losses: dict = {}
             add_mel_loss(losses, out["mel_out"], batch["mels"], mel_spec)
@@ -119,7 +119,7 @@ class DiffSpeechTask(FastSpeechTask):
         return DiffSpeech(self.vocab_size, self.hp,
                           out_dims=self.hp.get("audio_num_mel_bins", 80))
 
-    def make_loss_fn(self, model):
+    def make_loss_fn(self, model, train: bool = True):
         hp = self.hp
         sil_ids = self.sil_token_ids
         use_pitch = hp.get("use_pitch_embed", True)
@@ -130,7 +130,7 @@ class DiffSpeechTask(FastSpeechTask):
                 {"params": params}, batch["txt_tokens"],
                 mel2ph=batch["mel2ph"], spk_embed=batch.get("spk_embed"),
                 ref_mels=batch["mels"], f0=batch["f0"], uv=batch["uv"],
-                infer=False, rng=k_diff, train=True,
+                infer=False, rng=k_diff, train=train,
                 rngs={"dropout": k_drop})
             losses: dict = {}
             nonpadding = (batch["mel2ph"] != 0).astype(jnp.float32)[:, :, None]

@@ -134,19 +134,27 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
 
 def make_accum_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
                           mesh: Optional[Mesh] = None,
-                          data_axis: str = "data"):
+                          data_axis: str = "data",
+                          use_bf16: bool = False):
     """Gradient accumulation: jitted grad_fn per microbatch + jitted apply.
 
     Replaces the reference's accumulation boundary logic
     (``trainer.py:366-374``): the host loop sums grads over
     ``accumulate_grad_batches`` microbatches (any shapes), then one apply
-    updates the state with the mean gradient.
+    updates the state with the mean gradient. Matches ``make_train_step``
+    semantics: bf16 compute option, ``global_step`` visible to losses (KL
+    warmup / CE annealing — grad_fn takes the step as an argument since the
+    state is not in scope per-microbatch), and the in-program NaN tripwire
+    surfacing ``nan_grads`` from the apply.
     """
+    if use_bf16:
+        loss_fn = bf16_wrap(loss_fn)
 
-    def grad_fn(params, batch, rng):
+    def grad_fn(params, batch, rng, step):
         if mesh is not None:
             batch = jax.lax.with_sharding_constraint(
                 batch, NamedSharding(mesh, P(data_axis)))
+        batch = dict(batch, global_step=jnp.asarray(step, jnp.float32))
         (total, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch, rng)
         metrics = dict(metrics)
@@ -160,8 +168,10 @@ def make_accum_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
         finite = _all_finite(grads)  # same NaN tripwire as make_train_step
         params = _select_tree(finite, params, state.params)
         opt_state = _select_tree(finite, opt_state, state.opt_state)
-        return TrainState(step=state.step + 1, params=params,
-                          opt_state=opt_state)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        return new_state, {"grad_norm": optax.global_norm(grads),
+                           "nan_grads": 1.0 - finite.astype(jnp.float32)}
 
     return jax.jit(grad_fn), jax.jit(apply_fn, donate_argnums=(0, 1))
 

@@ -135,7 +135,9 @@ class Trainer:
             self.loss_fn, tx, mesh=self.mesh,
             use_bf16=bool(self.hp.get("use_bf16", False)),
             param_specs=param_specs)
-        self.eval_step = make_eval_step(self.loss_fn, mesh=self.mesh)
+        # validation runs the deterministic-dropout variant of the loss
+        self.eval_step = make_eval_step(
+            self.task.make_loss_fn(self.model, train=False), mesh=self.mesh)
         state = TrainState.create(variables["params"], tx)
         if ckpt_path is not None:
             payload = load_checkpoint(ckpt_path)
@@ -216,7 +218,8 @@ class Trainer:
                     make_accum_train_step
 
                 grad_fn, apply_fn = make_accum_train_step(
-                    self.loss_fn, self.tx, mesh=self.mesh)
+                    self.loss_fn, self.tx, mesh=self.mesh,
+                    use_bf16=bool(self.hp.get("use_bf16", False)))
 
             t0 = time.time()
             pending = first
@@ -256,10 +259,14 @@ class Trainer:
                              else self._device_batch(next(it)))
                     pending = None
                     self.rng, sub = jax.random.split(self.rng)
-                    grads, metrics_acc = grad_fn(self.state.params, batch, sub)
+                    grads, metrics_acc = grad_fn(
+                        self.state.params, batch, sub,
+                        float(self.global_step))
                     grads_sum = grads if grads_sum is None else jax.tree.map(
                         jax.numpy.add, grads_sum, grads)
-                self.state = apply_fn(self.state, grads_sum, float(accum))
+                self.state, apply_metrics = apply_fn(
+                    self.state, grads_sum, float(accum))
+                metrics_acc = dict(metrics_acc, **apply_metrics)
             else:
                 batch = (pending if pending is not None
                          else self._device_batch(next(it)))

@@ -1,5 +1,7 @@
 """Data layer tests: indexed records, collation, bucketing, masks, datasets."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -224,3 +226,111 @@ def test_mp_loader_worker_error_surfaces(corpus):
     ds = EditingDataset("train", hp, shuffle=False)
     with pytest.raises(RuntimeError, match="data worker failed"):
         list(iter_batches_mp(ds, [[0, 999999]], epoch=0, num_workers=1))
+
+
+def test_loader_producer_error_propagates(corpus):
+    """A failing item must abort the epoch loudly, not truncate it silently."""
+    import threading
+
+    data_dir, items, hp = corpus
+    ds = EditingDataset("train", hp, shuffle=False)
+    orig_get = type(ds).__getitem__
+
+    class Boom(EditingDataset):
+        def __getitem__(self, index):
+            if index == 3:
+                raise ValueError("corrupt record")
+            return orig_get(self, index)
+
+    bad = Boom("train", hp, shuffle=False)
+    loader = DataLoader(bad, max_sentences=2)
+    n_before = threading.active_count()
+    with pytest.raises(RuntimeError, match="DataLoader worker failed"):
+        for _ in loader:
+            pass
+    # the producer thread must be retired, not leaked
+    for _ in range(50):
+        if threading.active_count() <= n_before:
+            break
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before
+
+
+def test_loader_early_abandon_joins_producer(corpus):
+    """Breaking out of a loader (sanity-val / test first-batch peek) must not
+    leave the producer thread blocked on a full queue."""
+    import threading
+
+    data_dir, items, hp = corpus
+    ds = EditingDataset("train", hp, shuffle=False)
+    n_before = threading.active_count()
+    for _ in range(5):  # repeated abandons must not accumulate threads
+        loader = DataLoader(ds, max_sentences=1, prefetch=1)
+        for _b in loader:
+            break  # abandon mid-epoch with a full prefetch queue
+        del loader
+    for _ in range(100):
+        if threading.active_count() <= n_before:
+            break
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before
+
+
+def test_concat_weighted_sampler_consistency(tmp_path, rng):
+    """ConcatDataset owns the weighted-sampler map: batching sizes must
+    describe the items actually returned, and children keep no maps."""
+    import os
+
+    from speech_editing_tpu.data.datasets import ConcatDataset
+    from speech_editing_tpu.data.indexed_dataset import IndexedDatasetBuilder
+    from tests.helpers import synth_corpus_items
+
+    dirs = []
+    for d in ("a", "b"):
+        data_dir = str(tmp_path / d)
+        os.makedirs(data_dir)
+        items = synth_corpus_items(rng, n_items=5)
+        for i, it in enumerate(items):
+            t = len(it["mel"])
+            mask = np.zeros(t, np.int64)
+            if i < 2:
+                mask[: t // 2] = 1
+            it["stutter_mel_mask"] = mask
+        b = IndexedDatasetBuilder(f"{data_dir}/train")
+        for it in items:
+            b.add_item(it)
+        b.finalize()
+        np.save(f"{data_dir}/train_lengths.npy",
+                np.asarray([len(it["mel"]) for it in items]))
+        dirs.append(data_dir)
+
+    hp = dict(TINY_HP)
+    hp.update(infer=False, seed=7, mask_type="random",
+              training_mask_ratio=0.5, max_frames=200, max_input_tokens=50,
+              test_ids=[], min_frames=0, use_weighted_sampler=True)
+    children = []
+    for d in dirs:
+        chp = dict(hp, binary_data_dir=d)
+        children.append(EditingDataset("train", chp, shuffle=True))
+    cat = ConcatDataset(children)
+    cat.set_epoch(0)
+
+    assert cat._index_map is not None  # concat owns the map
+    for ch in children:
+        assert ch._index_map is None  # children must not double-remap
+
+    # size(i) must describe the item __getitem__ actually returns
+    for i in range(len(cat)):
+        item = cat[i]
+        assert item["mel"].shape[0] == min(cat.size(i), 200)
+
+    # repeated draws of the same real item get different random masks
+    real = np.asarray(cat._index_map)
+    vals, counts = np.unique(real, return_counts=True)
+    rep = vals[counts > 1]
+    if len(rep):
+        vs = np.where(real == rep[0])[0][:2]
+        m0 = cat[int(vs[0])]["time_mel_mask"]
+        m1 = cat[int(vs[1])]["time_mel_mask"]
+        if m0.shape == m1.shape:
+            assert not np.array_equal(m0, m1)

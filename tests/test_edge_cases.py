@@ -79,6 +79,11 @@ def test_best_checkpoint_retention(tmp_path):
     save_checkpoint(d, state, steps=3, val_loss=4.0, save_best=True)
     best = load_checkpoint(f"{d}/model_ckpt_best.pt")
     assert best["val_loss"] == 3.0 and best["steps"] == 2
+    # a stored val_loss of 0.0 is a VALID best, not "no best yet"
+    save_checkpoint(d, state, steps=4, val_loss=0.0, save_best=True)
+    save_checkpoint(d, state, steps=5, val_loss=2.0, save_best=True)
+    best = load_checkpoint(f"{d}/model_ckpt_best.pt")
+    assert best["val_loss"] == 0.0 and best["steps"] == 4
 
 
 def test_rolling_retention(tmp_path):

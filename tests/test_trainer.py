@@ -1,6 +1,7 @@
 """Trainer integration: fit on synthetic corpus, resume, checkpoints, test."""
 
 import os
+from functools import partial
 
 import numpy as np
 import pytest
@@ -100,3 +101,54 @@ def test_nan_grad_tripwire_skips_update():
     state2, m2 = step(state1, good, rng)
     assert float(m2["nan_grads"]) == 0.0
     assert not np.allclose(np.asarray(state2.params["w"]), 1.0)  # updated
+
+
+def test_eval_loss_fn_is_deterministic(trained):
+    """Validation must run the deterministic-dropout loss: same batch,
+    different dropout seeds -> identical loss (train=False), while the
+    train-mode loss varies with the dropout rng."""
+    import jax
+
+    hp, work_dir = trained
+    hp = dict(hp, dropout=0.1, predictor_dropout=0.1)  # TINY_HP has 0.0
+    task = SpecDenoiserTask(hp)
+    model = task.build_model()
+    rng = np.random.RandomState(0)
+    t_frames, s_tok = 64, 10
+    batch = {
+        "txt_tokens": np.asarray(rng.randint(3, task.vocab_size, (1, s_tok))),
+        "time_mel_masks": np.ones((1, t_frames), np.float32),
+        "mel2ph": np.clip(np.sort(rng.randint(1, s_tok, (1, t_frames))),
+                          1, s_tok),
+        "mels": rng.randn(1, t_frames, 80).astype(np.float32),
+        "f0": rng.rand(1, t_frames).astype(np.float32),
+        "uv": np.zeros((1, t_frames), np.float32),
+        "spk_embed": np.zeros((1, 256), np.float32),
+    }
+    variables = task.init_model(model, batch, jax.random.PRNGKey(0))
+    params = variables["params"]
+
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=1)
+    def apply(k_drop, train):
+        # fixed diffusion rng, varying dropout rng: isolates dropout. The
+        # fft encoder has NO dropout by reference parity (FS_ENCODERS
+        # builds FastSpeechEncoder without hp['dropout']; configs set
+        # dropout: 0.0) — the dropout that matters sits in the duration/
+        # pitch predictors (predictor_dropout), so probe `dur`.
+        tm = jnp.asarray(batch["time_mel_masks"])[..., None]
+        out = model.apply(
+            {"params": params}, jnp.asarray(batch["txt_tokens"]), tm,
+            jnp.asarray(batch["mel2ph"]), jnp.asarray(batch["spk_embed"]),
+            jnp.asarray(batch["mels"]), jnp.asarray(batch["f0"]),
+            jnp.asarray(batch["uv"]), infer=False,
+            rng=jax.random.PRNGKey(7), train=train,
+            rngs={"dropout": k_drop})
+        return out["dur"]
+
+    kA, kB = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    # eval mode: dropout deterministic -> output independent of dropout rng
+    assert np.array_equal(apply(kA, False), apply(kB, False))
+    # train mode: dropout active -> output depends on the dropout rng
+    assert not np.array_equal(apply(kA, True), apply(kB, True))
