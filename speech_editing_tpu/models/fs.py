@@ -38,7 +38,21 @@ from speech_editing_tpu.ops.seq_ops import (clip_mel2token_to_multiple,
 from speech_editing_tpu.utils.audio.pitch import denorm_f0, f0_to_coarse
 
 
-class FastSpeech(nn.Module):
+class StyleEmbedMixin:
+    """Shared speaker-style projection: requires ``hp`` plus
+    ``spk_embed_proj``/``spk_id_proj`` submodules on the host module
+    (reference fs.py:114-121; also used verbatim by PortaSpeech)."""
+
+    def forward_style_embed(self, spk_embed=None, spk_id=None):
+        style = 0.0
+        if self.hp.get("use_spk_embed") and spk_embed is not None:
+            style = style + self.spk_embed_proj(spk_embed)[:, None, :]
+        if self.hp.get("use_spk_id") and spk_id is not None:
+            style = style + self.spk_id_proj(spk_id)[:, None, :]
+        return style
+
+
+class FastSpeech(StyleEmbedMixin, nn.Module):
     """hp: an HParams/dict with the reference's config keys."""
 
     vocab_size: int
@@ -119,14 +133,6 @@ class FastSpeech(nn.Module):
                 odim=2, kernel_size=hp["predictor_kernel"])
 
     # -- sub-forwards --------------------------------------------------------
-
-    def forward_style_embed(self, spk_embed=None, spk_id=None):
-        style = 0.0
-        if self.hp.get("use_spk_embed") and spk_embed is not None:
-            style = style + self.spk_embed_proj(spk_embed)[:, None, :]
-        if self.hp.get("use_spk_id") and spk_id is not None:
-            style = style + self.spk_id_proj(spk_id)[:, None, :]
-        return style
 
     def forward_dur(self, dur_inp, time_mel_masks, mel2ph, txt_tokens, ret,
                     masked_dur=None, use_pred_mel2ph=False, train=False):

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from speech_editing_tpu.models.fs import StyleEmbedMixin
 from speech_editing_tpu.modules.conv import ConvBlocks
 from speech_editing_tpu.modules.flows import Glow, ResFlow
 from speech_editing_tpu.modules.transformer import (FastSpeechEncoder,
@@ -159,7 +160,7 @@ class FVAE(nn.Module):
         return {"z_q": z_p, "g": g}
 
 
-class PortaSpeech(nn.Module):
+class PortaSpeech(StyleEmbedMixin, nn.Module):
     """ph_dict_size + word_dict_size linguistic encoder, FVAE frame decoder."""
 
     vocab_size: int
@@ -213,14 +214,6 @@ class PortaSpeech(nn.Module):
         if hp.get("add_word_pos", True):
             self.word_pos_proj = nn.Dense(h)
 
-    def forward_style_embed(self, spk_embed=None, spk_id=None):
-        style = 0.0
-        if self.hp.get("use_spk_embed") and spk_embed is not None:
-            style = style + self.spk_embed_proj(spk_embed)[:, None, :]
-        if self.hp.get("use_spk_id") and spk_id is not None:
-            style = style + self.spk_id_proj(spk_id)[:, None, :]
-        return style
-
     def get_pos_embed(self, word2word, x2word):
         """Intra-word continuous position (portaspeech.py:214-218)."""
         x_pos = build_word_mask(word2word, x2word).astype(jnp.float32)
@@ -232,7 +225,7 @@ class PortaSpeech(nn.Module):
                  mel2ph=None, spk_embed=None, spk_id=None, pitch=None,
                  tgt_mels=None, infer: bool = False,
                  rng: Optional[jax.Array] = None, train: bool = False,
-                 noise_scale: float = 0.8, **kw):
+                 noise_scale: float = 0.8, global_step=None, **kw):
         """txt_tokens [B,S_ph]; word_tokens [B,S_w]; ph2word [B,S_ph];
         mel2word [B,T]."""
         hp = self.hp
@@ -299,6 +292,11 @@ class PortaSpeech(nn.Module):
         ret["attn"] = weight
         if hp.get("add_word_pos", True):
             x = x + self.word_pos_proj(dec_pos)
+        if hp.get("use_word_encoder", True):
+            # post-attention word-state residual (reference
+            # portaspeech.py:144-145): the expanded word states add into
+            # the decoder input, not only into the attention query
+            x = x + word_exp
         x = x * tgt_nonpadding
         if hp.get("use_pitch_embed") and pitch is not None:
             x = x + self.pitch_embed(pitch[:, : x.shape[1]])
@@ -309,9 +307,17 @@ class PortaSpeech(nn.Module):
         if not infer:
             t = x.shape[1]
             tgt = tgt_mels[:, :t]
-            fv = self.fvae(tgt, tgt_nonpadding, x, rng, infer=False)
+            k_vae, k_warm = jax.random.split(rng)
+            fv = self.fvae(tgt, tgt_nonpadding, x, k_vae, infer=False)
             ret["kl"] = fv["kl"]
             z = fv["z_q"]
+            pss = int(hp.get("posterior_start_steps", 0))
+            if pss > 0 and global_step is not None:
+                # early-training warm-up (reference run_decoder :178-180):
+                # decode from noise until the posterior is trusted, which
+                # prevents the decoder latching onto a collapsed posterior
+                z = jnp.where(jnp.asarray(global_step) < pss,
+                              jax.random.normal(k_warm, z.shape, z.dtype), z)
         else:
             fv = self.fvae(None, tgt_nonpadding, x, rng, infer=True,
                            noise_scale=noise_scale)
@@ -344,13 +350,15 @@ class PortaSpeechFlow(PortaSpeech):
                  mel2ph=None, spk_embed=None, spk_id=None, pitch=None,
                  tgt_mels=None, infer: bool = False,
                  rng: Optional[jax.Array] = None, train: bool = False,
-                 noise_scale: float = 0.8, infer_post_glow: bool = True, **kw):
+                 noise_scale: float = 0.8, infer_post_glow: bool = True,
+                 global_step=None, **kw):
         if rng is None:
             rng = self.make_rng("fvae")
         k_vae, k_flow = jax.random.split(rng)
         ret = super().__call__(
             txt_tokens, word_tokens, ph2word, mel2word, mel2ph, spk_embed,
-            spk_id, pitch, tgt_mels, infer, k_vae, train, noise_scale)
+            spk_id, pitch, tgt_mels, infer, k_vae, train, noise_scale,
+            global_step=global_step)
         nonpadding = ret["nonpadding"]
         cond = self.post_flow_cond_proj(jnp.concatenate(
             [ret["decoder_inp"],

@@ -58,7 +58,13 @@ class StutterGaussianDiffusion(nn.Module):
         hp = self.hp
         self.fs = FastSpeech(self.vocab_size, hp)
         self.mel_encoder = MelEncoder(hidden_size=hp["hidden_size"])
-        self.stutter_embed = TokenEmbedding(3, hp["hidden_size"])
+        # plain embed, NO zeroed padding id: the reference builds this with
+        # Embedding(3, h) (padding_idx=None) so class 0 = fluent keeps a
+        # learnable vector (stutter_speech/spec_denoiser.py:25)
+        self.stutter_embed = nn.Embed(
+            3, hp["hidden_size"],
+            embedding_init=nn.initializers.normal(
+                hp["hidden_size"] ** -0.5))
         self.stutter_predictor = FrameStutterHead(hp["hidden_size"])
         self.denoise_fn = DiffNet(
             in_dims=self.out_dims, encoder_hidden=hp["hidden_size"],

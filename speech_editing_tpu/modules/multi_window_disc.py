@@ -83,6 +83,13 @@ class MultiWindowDiscriminator(nn.Module):
             v, h = SingleWindowDisc(
                 win, self.freq_length, self.kernel, self.hidden_size,
                 name=f"disc_win{win}")(clip, train=train)
-            validity = validity + v
-            hiddens += h
+            # per-sample gate: a sample shorter than the window would be
+            # scored on padding frames — mask its validity AND its hiddens
+            # (feature-matching) to zero. The reference only gates at batch
+            # level (clip returns None when max(x_len) < win,
+            # multi_window_disc.py:94-97); per-sample is strictly tighter
+            # and keeps shapes static for XLA.
+            ok = (x_len >= win).astype(v.dtype)[:, None]
+            validity = validity + v * ok
+            hiddens += [hh * ok[:, :, None, None] for hh in h]
         return {"y": validity, "h": hiddens, "start_frames": starts_out}

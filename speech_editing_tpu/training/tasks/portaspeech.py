@@ -53,6 +53,7 @@ class PortaSpeechTask(BaseTask):
             batch["ph2word"], mel2word=batch["mel2word"],
             spk_embed=batch.get("spk_embed"), pitch=batch.get("pitch"),
             tgt_mels=batch["mels"], infer=False, rng=rng, train=train,
+            global_step=batch.get("global_step"),
             rngs={"dropout": k_drop})
 
     def make_loss_fn(self, model, train: bool = True):

@@ -59,19 +59,23 @@ def get_lf0_cwt(lf0: np.ndarray, num_scales: int = 10):
 
 
 def cwt2f0(cwt_spec, mean, std, cwt_scales=None):
-    """Reconstruct normalized log-f0 from (possibly predicted) CWT spec.
+    """Reconstruct LINEAR-domain f0 from (possibly predicted) CWT spec.
 
     cwt_spec [B, T, 10]; mean/std [B]. jnp-compatible (runs in-model).
-    Reconstruction weights per the standard CWT-F0 recipe:
-    W[:, i] * (i + 2.5)^(-2.5).
+    Parity: reference ``utils/audio/cwt.py:118-144`` — inverse CWT with
+    weights W[:, i] * (i + 2.5)^(-2.5), per-utterance standardization of the
+    reconstruction, de-normalization by the (predicted) lf0 mean/std, then
+    ``exp`` back to linear Hz (the caller re-normalizes with ``norm_f0``).
     """
     import jax.numpy as jnp
 
     num_scales = cwt_spec.shape[-1]
     widths = jnp.asarray([(i + 2.5) ** (-2.5) for i in range(num_scales)])
     lf0 = jnp.sum(cwt_spec * widths[None, None, :], axis=-1)
+    lf0 = (lf0 - lf0.mean(axis=-1, keepdims=True)) / (
+        lf0.std(axis=-1, keepdims=True) + 1e-8)
     lf0 = lf0 * std[:, None] + mean[:, None]
-    return lf0
+    return jnp.exp(lf0)
 
 
 def f0_to_cwt(f0: np.ndarray, num_scales: int = 10):

@@ -62,6 +62,9 @@ def test_cwt_roundtrip():
                             jnp.asarray([d["cwt_mean"]]),
                             jnp.asarray([d["cwt_std"]])))[0]
     _, lf0 = get_cont_lf0(f0)
-    # remove means before correlating (reconstruction is band-limited)
-    c = np.corrcoef(rec - rec.mean(), lf0 - lf0.mean())[0, 1]
-    assert np.isfinite(c)
+    # cwt2f0 returns LINEAR Hz (reference cwt.py:138 exps back): the
+    # reconstruction must live in the source's frequency range, not log-space
+    assert 50 < np.median(rec) < 400
+    # the 10-scale mexh inverse is band-limited: slow contours are not
+    # reconstructed, so only finiteness (not correlation) is contractual
+    assert np.isfinite(rec).all()
