@@ -50,8 +50,19 @@ class HParams(Mapping):
     def get(self, k, default=None):
         return self._data.get(k, default)
 
+    # Mapping sets __hash__ = None; restore the documented identity hash
+    __hash__ = object.__hash__
+
+    def __reduce__(self):
+        # plain-dict pickling: keeps spawn-context pools / deepcopy working
+        return (self.__class__, (dict(self._data),))
+
     # attribute sugar ------------------------------------------------------
     def __getattr__(self, k):
+        if k == "_data":
+            # only reachable when _data is absent (mid-unpickle attribute
+            # probes) — must not fall through to self._data again
+            raise AttributeError(k)
         try:
             return self._data[k]
         except KeyError as e:  # pragma: no cover

@@ -39,7 +39,8 @@ DEFAULT_TEXT2MEL = {
     "f0_min": 80, "f0_max": 600, "pitch_extractor": "autocorr",
     "audio_sample_rate": 22050, "loud_norm": False,
     "mfa_min_sil_duration": 0.1, "trim_eos_bos": False,
-    "with_align": True, "with_f0": True, "min_mel_length": 64,
+    "with_align": True, "with_f0": True, "with_f0cwt": False,
+    "min_mel_length": 64,
 }
 
 
@@ -178,6 +179,14 @@ class BaseBinarizer:
             raise BinarizationError("Empty f0")
         item["f0"] = f0
         item["pitch"] = f0_to_coarse(f0)
+        if p.get("with_f0cwt"):
+            # CWT pitch decomposition for FS2-orig cwt mode (reference
+            # base_binarizer.py:248-255 with_f0cwt block)
+            from speech_editing_tpu.utils.audio.cwt import f0_to_cwt
+            d = f0_to_cwt(f0)
+            item["cwt_spec"] = d["cwt_spec"]
+            item["cwt_mean"] = d["cwt_mean"]
+            item["cwt_std"] = d["cwt_std"]
 
     @staticmethod
     def get_spk_embed(wav, ctx=None, sample_rate: int = 22050, **kw):

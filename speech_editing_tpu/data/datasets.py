@@ -221,6 +221,22 @@ class EditingDataset(BaseSpeechDataset):
             sample["uv"] = uv.astype(np.float32)
             sample["pitch"] = np.asarray(
                 item.get("pitch", np.zeros(t)), np.int64)[:t]
+            if hp.get("pitch_type") == "cwt":
+                # CWT pitch targets (reference FastSpeechDataset,
+                # tasks/tts/fs2_orig.py:18-29). Prefer binarized fields
+                # (with_f0cwt); else decompose on the fly from raw f0.
+                if "cwt_spec" in item:
+                    cwt_spec = np.asarray(item["cwt_spec"], np.float32)
+                    mean = float(item.get("f0_mean", item.get("cwt_mean")))
+                    std = float(item.get("f0_std", item.get("cwt_std")))
+                else:
+                    from speech_editing_tpu.utils.audio.cwt import f0_to_cwt
+                    d = f0_to_cwt(np.asarray(item["f0"], np.float32)[:t])
+                    cwt_spec = d["cwt_spec"]
+                    mean, std = d["cwt_mean"], d["cwt_std"]
+                sample["cwt_spec"] = cwt_spec[:t]
+                sample["f0_mean"] = mean
+                sample["f0_std"] = std
 
         if "stutter_mel_mask" in item:
             sample["stutter_mel_mask"] = np.asarray(
@@ -252,6 +268,13 @@ class EditingDataset(BaseSpeechDataset):
                 [s["uv"] for s in samples], 0.0, size_multiple=sm)
             batch["pitch"] = collate_1d_or_2d(
                 [s["pitch"] for s in samples], 0, size_multiple=sm)
+            if "cwt_spec" in samples[0]:
+                batch["cwt_spec"] = collate_1d_or_2d(
+                    [s["cwt_spec"] for s in samples], 0.0, size_multiple=sm)
+                batch["f0_mean"] = np.asarray(
+                    [s["f0_mean"] for s in samples], np.float32)
+                batch["f0_std"] = np.asarray(
+                    [s["f0_std"] for s in samples], np.float32)
         batch["mel2ph"] = collate_1d_or_2d(
             [s["mel2ph"] for s in samples], 0, size_multiple=sm)
         if "stutter_mel_mask" in samples[0]:

@@ -42,7 +42,15 @@ def wav_mfcc(wav: np.ndarray, n_mfcc: int = 34, cfg: dict = TRAIN_CFG
 
 
 def cal_mcd(wav_pair: Tuple[str, str], use_dtw: bool = False) -> float:
-    """MCD between two wav files (ref first), reference eval/mcd.py:26-49."""
+    """MCD between two wav files (ref first), reference eval/mcd.py:26-49.
+
+    DELIBERATE DEVIATION in the ``use_dtw`` branch: we align frames over
+    the TIME axis (mfcc.T), whereas the reference runs fastdtw over the
+    raw [n_mfcc, T] array — i.e. it aligns the 34 coefficient rows, which
+    is not a meaningful temporal alignment. MCD-DTW numbers are therefore
+    not directly comparable to values computed with the reference script;
+    the non-DTW branch matches the reference exactly.
+    """
     ref_fn, est_fn = wav_pair
     ref, _ = load_wav(ref_fn, TRAIN_CFG["sample_rate"])
     est, _ = load_wav(est_fn, TRAIN_CFG["sample_rate"])

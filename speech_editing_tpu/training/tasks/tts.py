@@ -77,6 +77,13 @@ class FastSpeech2OrigTask(FastSpeechTask):
     def build_model(self):
         return FastSpeech2Orig(self.vocab_size, self.hp)
 
+    def effective_batch_keys(self) -> tuple:
+        keys = super().effective_batch_keys()
+        if (self.hp.get("pitch_type") == "cwt"
+                and self.hp.get("use_pitch_embed", True)):
+            keys = keys + ("cwt_spec", "f0_mean", "f0_std")
+        return keys
+
     def make_loss_fn(self, model, train: bool = True):
         hp = self.hp
         base_loss = None
@@ -91,8 +98,7 @@ class FastSpeech2OrigTask(FastSpeechTask):
             out = model.apply(
                 {"params": params}, batch["txt_tokens"],
                 mel2ph=batch["mel2ph"], spk_embed=batch.get("spk_embed"),
-                f0=None if cwt else batch["f0"],
-                uv=None if cwt else batch["uv"],
+                f0=batch["f0"], uv=batch["uv"],
                 energy=energy, infer=False, train=train,
                 rngs={"dropout": rng})
             losses: dict = {}
@@ -100,7 +106,30 @@ class FastSpeech2OrigTask(FastSpeechTask):
             is_sil = sil_token_mask(batch["txt_tokens"], sil_ids)
             dur_loss(losses, out["dur"], batch["mel2ph"],
                      batch["txt_tokens"], is_sil, hp)
-            if use_pitch and not cwt:
+            if use_pitch and cwt:
+                # CWT pitch supervision (reference tasks/tts/fs2_orig.py
+                # add_pitch_loss cwt branch): spec L1, uv BCE, stats L1
+                import optax
+
+                lam_f0 = hp.get("lambda_f0", 1.0)
+                t = out["cwt"].shape[1]
+                cwt_gt = batch["cwt_spec"][:, :t]
+                losses["C"] = jnp.mean(jnp.abs(
+                    out["cwt"][:, :cwt_gt.shape[1], :10] - cwt_gt)) * lam_f0
+                if hp.get("use_uv", True):
+                    nonpadding = (batch["mel2ph"] != 0).astype(jnp.float32)
+                    uv_logit = out["cwt"][:, :, -1][:, :nonpadding.shape[1]]
+                    bce = optax.sigmoid_binary_cross_entropy(
+                        uv_logit, batch["uv"][:, :uv_logit.shape[1]])
+                    np_t = nonpadding[:, :uv_logit.shape[1]]
+                    losses["uv"] = (jnp.sum(bce * np_t)
+                                    / jnp.maximum(np_t.sum(), 1.0)
+                                    ) * hp.get("lambda_uv", 1.0)
+                losses["f0_mean"] = jnp.mean(jnp.abs(
+                    out["f0_mean"] - batch["f0_mean"])) * lam_f0
+                losses["f0_std"] = jnp.mean(jnp.abs(
+                    out["f0_std"] - batch["f0_std"])) * lam_f0
+            elif use_pitch:
                 pitch_loss(losses, out["pitch_pred"], batch["f0"],
                            batch["uv"], batch["mel2ph"], hp)
             if use_energy:

@@ -136,9 +136,20 @@ def get_mel2ph(tg_fn: str, ph: str, mel: np.ndarray, hop_size: int,
     i_itv = i_ph = 0
     while i_itv < len(merged):
         itv = merged[i_itv]
-        cur_ph = ph_list[i_ph]
         start = int(itv.min_time * audio_sample_rate / hop_size + 0.5)
         end = int(itv.max_time * audio_sample_rate / hop_size + 0.5)
+        if i_ph >= len(ph_list):
+            # every phoneme consumed: only extra TextGrid silences can
+            # remain (e.g. two unmerged trailing sil intervals vs one
+            # <EOS>); fold them onto the last phone instead of indexing
+            # past the phoneme list
+            assert is_sil_phoneme(itv.mark), (
+                f"non-silence interval {itv.mark!r} beyond phoneme list "
+                f"in {tg_fn}")
+            mel2ph[start:end] = i_ph  # == last 1-based phone id
+            i_itv += 1
+            continue
+        cur_ph = ph_list[i_ph]
         if is_sil_phoneme(itv.mark) and not is_sil_phoneme(cur_ph):
             # TextGrid silence with no matching ph: attribute to previous ph
             mel2ph[start:end] = i_ph

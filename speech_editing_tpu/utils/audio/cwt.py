@@ -70,7 +70,8 @@ def cwt2f0(cwt_spec, mean, std, cwt_scales=None):
     import jax.numpy as jnp
 
     num_scales = cwt_spec.shape[-1]
-    widths = jnp.asarray([(i + 2.5) ** (-2.5) for i in range(num_scales)])
+    # reference inverse_cwt: b = (arange(J) + 1 + 2.5) ** -2.5
+    widths = jnp.asarray([(i + 1 + 2.5) ** (-2.5) for i in range(num_scales)])
     lf0 = jnp.sum(cwt_spec * widths[None, None, :], axis=-1)
     lf0 = (lf0 - lf0.mean(axis=-1, keepdims=True)) / (
         lf0.std(axis=-1, keepdims=True) + 1e-8)
@@ -79,9 +80,17 @@ def cwt2f0(cwt_spec, mean, std, cwt_scales=None):
 
 
 def f0_to_cwt(f0: np.ndarray, num_scales: int = 10):
-    """Offline: raw f0 [T] -> dict(cwt_spec [T,10], mean, std) for binarize."""
+    """Offline: raw f0 [T] -> dict(cwt_spec [T,10], mean, std) for binarize.
+
+    Reference convention (base_binarizer.py:248-255 + cwt.py
+    ``get_lf0_cwt(cont_lf0_lpf_norm)``): the continuous lf0 is standardized
+    by its own mean/std FIRST, then decomposed; the stored spec holds the
+    RAW wavelet coefficients — the inverse's fixed per-scale weights rely
+    on the natural inter-scale amplitude ratios, so no per-scale
+    standardization is applied here.
+    """
     _, lf0 = get_cont_lf0(f0)
-    w, scales = get_lf0_cwt(lf0, num_scales)
-    w_norm, mean, std = norm_scale(w)
-    return {"cwt_spec": w_norm.astype(np.float32),
-            "cwt_mean": float(lf0.mean()), "cwt_std": float(lf0.std() + 1e-8)}
+    mean, std = float(lf0.mean()), float(lf0.std() + 1e-8)
+    w, scales = get_lf0_cwt((lf0 - mean) / std, num_scales)
+    return {"cwt_spec": w.astype(np.float32),
+            "cwt_mean": mean, "cwt_std": std}

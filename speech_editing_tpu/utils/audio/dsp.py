@@ -73,7 +73,14 @@ def istft(spec: np.ndarray, hop_size: int = 256, win_length: int | None = None,
     y = y / np.maximum(norm, 1e-10)
     if center:
         y = y[n_fft // 2:]
+        if length is None:
+            # librosa contract: without an explicit length both reflection
+            # pads are trimmed; left-only trimming would leave a windowed
+            # OLA edge tail on every generated clip
+            y = y[: max(out_len - n_fft, 0)]
     if length is not None:
+        if len(y) < length:
+            y = np.pad(y, (0, length - len(y)))
         y = y[:length]
     return y
 
@@ -261,10 +268,3 @@ def wav2spec(wav_or_path,
     }
 
 
-def mfcc_from_mel(log10_mel: np.ndarray, n_mfcc: int = 13) -> np.ndarray:
-    """DCT-II (ortho) cepstra from a [T, n_mels] log10-mel — for MCD eval."""
-    from scipy.fftpack import dct
-
-    # MCD conventionally uses ln; convert from log10
-    ln_mel = log10_mel * np.log(10.0)
-    return dct(ln_mel, type=2, axis=-1, norm="ortho")[..., :n_mfcc]

@@ -37,4 +37,10 @@ def mel2wav_griffin_lim(log10_mel: np.ndarray, sample_rate: int = 22050,
     basis = mel_filterbank(sample_rate, n_fft, num_mels, fmin, fmax)
     inv = np.linalg.pinv(basis)
     linear = np.maximum(eps, inv @ mel_amp)
-    return griffin_lim(linear, n_fft, hop_size)
+    wav = griffin_lim(linear, n_fft, hop_size)
+    # wav2spec establishes wav_len == T * hop; hold generated audio to the
+    # same contract so sample-index splicing stays frame-aligned
+    want = log10_mel.shape[0] * hop_size
+    if len(wav) < want:
+        wav = np.pad(wav, (0, want - len(wav)))
+    return wav[:want]

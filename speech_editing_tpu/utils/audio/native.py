@@ -59,6 +59,20 @@ def build(force: bool = False) -> bool:
 _LOAD_FAILED = False
 
 
+def _bind(lib: ctypes.CDLL) -> None:
+    lib.fastdsp_num_frames.restype = ctypes.c_long
+    lib.fastdsp_num_frames.argtypes = [ctypes.c_long, ctypes.c_int]
+    lib.fastdsp_stft_mel.restype = ctypes.c_int
+    lib.fastdsp_stft_mel.argtypes = [
+        _f32p, ctypes.c_long, ctypes.c_int, ctypes.c_int, _f64p, _f64p,
+        ctypes.c_int, ctypes.c_double, _f32p, ctypes.c_void_p, ctypes.c_int]
+    lib.fastdsp_autocorr_f0.restype = ctypes.c_int
+    lib.fastdsp_autocorr_f0.argtypes = [
+        _f32p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, _f64p, ctypes.c_int, _f64p,
+        _f32p, ctypes.c_int]
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _LOAD_FAILED
     if _LIB is not None:
@@ -81,19 +95,43 @@ def _load() -> Optional[ctypes.CDLL]:
         except OSError:
             _LOAD_FAILED = True
             return None
-    lib.fastdsp_num_frames.restype = ctypes.c_long
-    lib.fastdsp_num_frames.argtypes = [ctypes.c_long, ctypes.c_int]
-    lib.fastdsp_stft_mel.restype = ctypes.c_int
-    lib.fastdsp_stft_mel.argtypes = [
-        _f32p, ctypes.c_long, ctypes.c_int, ctypes.c_int, _f64p, _f64p,
-        ctypes.c_int, ctypes.c_double, _f32p, ctypes.c_void_p, ctypes.c_int]
-    lib.fastdsp_autocorr_f0.restype = ctypes.c_int
-    lib.fastdsp_autocorr_f0.argtypes = [
-        _f32p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_double,
-        ctypes.c_double, ctypes.c_double, _f64p, ctypes.c_int, _f64p,
-        _f32p, ctypes.c_int]
+    _bind(lib)
+    if not os.environ.get("FASTDSP_NO_PROBE") and not _probe_subprocess():
+        # dlopen succeeded but real calls die (e.g. -march=native binary
+        # from a newer host: SIGILL is uncatchable in-process, so probe in
+        # a throwaway subprocess); rebuild once for this host, re-probe
+        if build(force=True) and _probe_subprocess():
+            lib = ctypes.CDLL(SO_PATH)  # fresh handle for the new binary
+            _bind(lib)
+        else:
+            _LOAD_FAILED = True
+            return None
     _LIB = lib
     return lib
+
+
+def _selftest() -> bool:
+    """Exercise the SIMD-heavy entry points on tiny inputs (run inside the
+    probe subprocess — a SIGILL kills that process, not the caller)."""
+    m = stft_mel_native(np.random.RandomState(0).randn(4096).astype(np.float32),
+                        n_threads=1)
+    return bool(np.isfinite(m).all())
+
+
+def _probe_subprocess() -> bool:
+    import subprocess
+    import sys
+
+    code = ("import sys; sys.path.insert(0, %r); "
+            "import os; os.environ['FASTDSP_NO_PROBE'] = '1'; "
+            "from speech_editing_tpu.utils.audio import native; "
+            "sys.exit(0 if native._selftest() else 1)") % _REPO
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=120,
+                           capture_output=True)
+        return r.returncode == 0
+    except (subprocess.SubprocessError, OSError):
+        return False
 
 
 def available() -> bool:

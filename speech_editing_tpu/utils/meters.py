@@ -29,6 +29,28 @@ class AvgrageMeter:
         self.avg = self.sum / self.cnt
 
 
+_sync_fn = None
+
+
+def _device_sync():
+    """Barrier over previously dispatched device work.
+
+    A bare ``device_put`` only rides the transfer stream; blocking on a
+    tiny COMPILED program works because device programs execute in
+    dispatch order — it completes only after everything enqueued before
+    it (the ``torch.cuda.synchronize`` parity the reference Timer needs,
+    meters.py:21-42).
+    """
+    global _sync_fn
+    import jax
+
+    if _sync_fn is None:
+        import jax.numpy as jnp
+
+        _sync_fn = jax.jit(lambda: jnp.zeros(()))
+    jax.block_until_ready(_sync_fn())
+
+
 class Timer:
     timer_map: dict = {}
 
@@ -40,17 +62,13 @@ class Timer:
 
     def __enter__(self):
         if self.enable:
-            import jax
-
-            jax.block_until_ready(jax.device_put(0.0))  # drain queue
+            _device_sync()
             self.t = time.time()
         return self
 
     def __exit__(self, exc_type, exc_val, exc_tb):
         if self.enable:
-            import jax
-
-            jax.block_until_ready(jax.device_put(0.0))
+            _device_sync()
             Timer.timer_map[self.name] += time.time() - self.t
             print(f"[Timer] {self.name}: {Timer.timer_map[self.name]:.4f}s")
 

@@ -160,4 +160,8 @@ def synth_batch(rng, B=2, S=8, T=64, n_mels=80):
         "mels": mels, "time_mel_masks": masks, "spk_embed": spk_embed,
         "mel_lengths": np.array(lens, np.int32),
         "txt_lengths": (txt_tokens != 0).sum(1).astype(np.int32),
+        # CWT pitch targets (FS2-orig cwt mode)
+        "cwt_spec": rng.randn(B, T, 10).astype(np.float32),
+        "f0_mean": rng.uniform(4.5, 5.5, B).astype(np.float32),
+        "f0_std": rng.uniform(0.1, 0.4, B).astype(np.float32),
     }

@@ -46,3 +46,19 @@ def test_hparams_immutable():
         raised = True
     assert raised
     assert hp.replace(a=2)["a"] == 2
+
+
+def test_hparams_pickle_and_hash():
+    """HParams must survive pickling (spawn-context pools) and keep the
+    documented identity hash despite Mapping's __hash__ = None."""
+    import copy
+    import pickle
+
+    from speech_editing_tpu.config.hparams import HParams
+
+    hp = HParams({"a": 1, "nested": {"b": [1, 2]}})
+    hp2 = pickle.loads(pickle.dumps(hp))
+    assert dict(hp2) == dict(hp)
+    hp3 = copy.deepcopy(hp)
+    assert dict(hp3) == dict(hp)
+    assert isinstance(hash(hp), int)

@@ -118,3 +118,20 @@ def test_full_offline_pipeline(corpus_dirs):
     assert (s["f0"] != 0).any()
     batch = ds.collater([ds[0], ds[1]])
     assert batch["mels"].shape[0] == 2
+
+
+def test_get_mel2ph_trailing_extra_silence(tmp_path):
+    """More trailing silence intervals in the TextGrid than silence phones
+    in ph: extra sils fold onto the last phone instead of IndexError-ing."""
+    from speech_editing_tpu.utils.audio.align import get_mel2ph
+
+    sr, hop = 22050, 256
+    # TextGrid: sil AH B sil sil vs ph: <BOS> AH B <EOS> (one extra sil)
+    tg = str(tmp_path / "x.TextGrid")
+    _write_textgrid(tg, ["", "AH", "B", "", ""], total_sec=1.0)
+    mel = np.zeros((int(1.0 * sr) // hop, 80), np.float32)
+    mel2ph, dur = get_mel2ph(tg, "<BOS> AH B <EOS>", mel, hop, sr)
+    mel2ph = np.asarray(mel2ph)
+    assert (mel2ph > 0).all()
+    assert mel2ph.max() == 4  # trailing extra sil folded onto <EOS>
+    assert sum(dur) == len(mel2ph)

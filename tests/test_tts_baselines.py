@@ -41,6 +41,10 @@ def test_tts_task_train_and_infer(task_cls, extra, rng):
     assert np.isfinite(float(total)), metrics
     g2 = float(sum(jnp.sum(x ** 2) for x in jax.tree.leaves(grads)))
     assert g2 > 0
+    if extra.get("pitch_type") == "cwt":
+        # reference cwt supervision (tasks/tts/fs2_orig.py add_pitch_loss):
+        # spec L1 + uv BCE + stats L1 must all contribute
+        assert {"C", "uv", "f0_mean", "f0_std"} <= set(metrics)
 
     infer_fn = task.build_infer_fn(model)
     out = infer_fn(variables, batch, jax.random.PRNGKey(2))
