@@ -152,3 +152,46 @@ def test_eval_loss_fn_is_deterministic(trained):
     assert np.array_equal(apply(kA, False), apply(kB, False))
     # train mode: dropout active -> output depends on the dropout rng
     assert not np.array_equal(apply(kA, True), apply(kB, True))
+
+
+def test_accum_step_matches_fused_step():
+    """make_accum_train_step over N microbatches must equal make_train_step
+    on the concatenated batch (mean-gradient equivalence), and surface the
+    same nan_grads metric."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from speech_editing_tpu.training.train_state import (TrainState,
+                                                         make_accum_train_step,
+                                                         make_train_step)
+
+    def loss_fn(params, batch, rng):
+        x = batch["x"]  # [B, D]
+        pred = x @ params["w"]
+        loss = jnp.mean((pred - batch["y"]) ** 2)
+        return loss + 0.0 * batch["global_step"], {}
+
+    tx = optax.sgd(0.1)
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(4).astype(np.float32)
+    x = rng.randn(8, 4).astype(np.float32)
+    y = rng.randn(8).astype(np.float32)
+
+    fused = make_train_step(loss_fn, tx)
+    # the jitted steps donate their input state: give each path its own
+    s0 = TrainState.create({"w": jnp.asarray(w0)}, tx)
+    s_fused, _ = fused(s0, {"x": x, "y": y}, jax.random.PRNGKey(0))
+
+    grad_fn, apply_fn = make_accum_train_step(loss_fn, tx)
+    s1 = TrainState.create({"w": jnp.asarray(w0)}, tx)
+    gsum = None
+    for i in range(2):  # two equal microbatches of 4
+        g, _ = grad_fn(s1.params, {"x": x[i * 4:(i + 1) * 4],
+                                   "y": y[i * 4:(i + 1) * 4]},
+                       jax.random.PRNGKey(0), 0.0)
+        gsum = g if gsum is None else jax.tree.map(jnp.add, gsum, g)
+    s_accum, m = apply_fn(s1, gsum, 2.0)
+    assert float(m["nan_grads"]) == 0.0
+    np.testing.assert_allclose(np.asarray(s_accum.params["w"]),
+                               np.asarray(s_fused.params["w"]), atol=1e-6)
