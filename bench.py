@@ -97,7 +97,7 @@ def main():
     edit(*args, rng).block_until_ready()
 
     times = []
-    for i in range(10):
+    for i in range(15):  # CLAUDE.md: median over >=15 calls on this host
         rng, sub = jax.random.split(rng)
         t0 = time.perf_counter()
         edit(*args, sub).block_until_ready()

@@ -66,7 +66,8 @@ def main():
     tx = build_optimizer(hp)
     state = TrainState.create(variables["params"], tx)
     loss_fn = make_loss_fn(model, hp, sil_token_ids=(3,))
-    train_step = make_train_step(loss_fn, tx, mesh=mesh)
+    train_step = make_train_step(loss_fn, tx, mesh=mesh,
+                                 use_bf16=bool(hp.get("use_bf16", False)))
     sharded = shard_batch(batch, mesh)
 
     rng = jax.random.PRNGKey(7)

@@ -48,6 +48,7 @@ def main():
                    fmax=hp["fmax"], sample_rate=args.sample_rate)
     mel = res["mel"]
     vocoder = get_vocoder_cls(args.vocoder)(hp)
+    vocoder.spec2wav(mel)  # warmup: exclude jit compile from the timing
     t0 = time.perf_counter()
     wav_out = vocoder.spec2wav(mel)
     dt = time.perf_counter() - t0

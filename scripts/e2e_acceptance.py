@@ -126,7 +126,12 @@ def main():
         shutil.rmtree(ckpt_dir, ignore_errors=True)
         run_cli(cfg, exp, "--reset")
         run_cli(cfg, exp, "--infer")
-        gen = sorted(glob.glob(os.path.join(ckpt_dir, "generated_*")))[-1]
+        gens = sorted(glob.glob(os.path.join(ckpt_dir, "generated_*")))
+        if not gens:
+            raise RuntimeError(
+                f"infer run for {exp} produced no generated_* dir under "
+                f"{ckpt_dir} — check the infer log above")
+        gen = gens[-1]
         results[f"mcd_{tag}"] = round(seg_mcd(gen), 4)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 

@@ -9,8 +9,15 @@ import os
 
 if not os.environ.get("SET_TPU_TESTS"):  # opt-in to run the suite on real TPU
     os.environ["JAX_PLATFORMS"] = "cpu"
+import re as _re
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if "xla_force_host_platform_device_count" in flags:
+    # replace any preset count: the suite REQUIRES the 8-device mesh
+    flags = _re.sub(r"--xla_force_host_platform_device_count=\d+",
+                    "--xla_force_host_platform_device_count=8", flags)
+    os.environ["XLA_FLAGS"] = flags
+else:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402

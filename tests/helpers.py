@@ -136,7 +136,7 @@ def synth_batch(rng, B=2, S=8, T=64, n_mels=80):
     f0 = np.zeros((B, T), np.float32)
     uv = np.zeros((B, T), np.float32)
     mels = np.zeros((B, T, n_mels), np.float32)
-    masks = np.zeros((B, T, 1), np.float32)
+    masks = np.zeros((B, T), np.float32)
     lens = []
     for b in range(B):
         s = S - b  # varying token count
@@ -152,12 +152,13 @@ def synth_batch(rng, B=2, S=8, T=64, n_mels=80):
         f0[b, :t_len] *= (1 - uv[b, :t_len])
         mels[b, :t_len] = rng.randn(t_len, n_mels) * 0.5 - 2
         m0 = t_len // 4
-        masks[b, m0: m0 + t_len // 3, 0] = 1.0
+        masks[b, m0: m0 + t_len // 3] = 1.0
         lens.append(t_len)
     spk_embed = rng.randn(B, 256).astype(np.float32)
     return {
         "txt_tokens": txt_tokens, "mel2ph": mel2ph, "f0": f0, "uv": uv,
-        "mels": mels, "time_mel_masks": masks, "spk_embed": spk_embed,
+        "mels": mels, "time_mel_masks": masks,  # [B,T] (collate schema)
+        "spk_embed": spk_embed,
         "mel_lengths": np.array(lens, np.int32),
         "txt_lengths": (txt_tokens != 0).sum(1).astype(np.int32),
         # CWT pitch targets (FS2-orig cwt mode)

@@ -26,7 +26,6 @@ def test_task_train_and_infer(task_cls, rng):
     task = task_cls(hp)
     model = task.build_model()
     batch_np = synth_batch(rng, B=2, S=8, T=64)
-    batch_np["time_mel_masks"] = batch_np["time_mel_masks"][..., 0]  # [B,T]
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
     variables = task.init_model(model, batch_np, jax.random.PRNGKey(0))
@@ -73,7 +72,6 @@ def test_editspeech_teacher_forcing_branches(rng):
     task = EditSpeechTask(hp)
     model = task.build_model()
     batch_np = synth_batch(rng, B=2, S=8, T=48)
-    batch_np["time_mel_masks"] = batch_np["time_mel_masks"][..., 0]
     variables = task.init_model(model, batch_np, jax.random.PRNGKey(0))
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     tm = batch["time_mel_masks"][..., None]

@@ -51,7 +51,6 @@ def test_tp_train_step_matches_dp(jax):
     task = SpecDenoiserTask(hp)
     model = task.build_model()
     batch_np = synth_batch(np.random.RandomState(0), B=8, S=8, T=64)
-    batch_np["time_mel_masks"] = batch_np["time_mel_masks"][..., 0]  # [B,T]
 
     variables = task.init_model(model, batch_np, jax.random.PRNGKey(0))
     from speech_editing_tpu.training.optim import build_optimizer

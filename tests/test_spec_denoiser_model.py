@@ -15,7 +15,7 @@ def model_and_params():
     b = synth_batch(rng)
     params = model.init(
         {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
-        jnp.asarray(b["txt_tokens"]), jnp.asarray(b["time_mel_masks"]),
+        jnp.asarray(b["txt_tokens"]), jnp.asarray(b["time_mel_masks"])[..., None],
         jnp.asarray(b["mel2ph"]), jnp.asarray(b["spk_embed"]),
         jnp.asarray(b["mels"]), jnp.asarray(b["f0"]), jnp.asarray(b["uv"]),
         rng=jax.random.PRNGKey(2))
@@ -25,7 +25,7 @@ def model_and_params():
 def test_train_forward_shapes(model_and_params):
     model, params, b = model_and_params
     ret = model.apply(
-        params, jnp.asarray(b["txt_tokens"]), jnp.asarray(b["time_mel_masks"]),
+        params, jnp.asarray(b["txt_tokens"]), jnp.asarray(b["time_mel_masks"])[..., None],
         jnp.asarray(b["mel2ph"]), jnp.asarray(b["spk_embed"]),
         jnp.asarray(b["mels"]), jnp.asarray(b["f0"]), jnp.asarray(b["uv"]),
         rng=jax.random.PRNGKey(3))
@@ -41,7 +41,7 @@ def test_train_forward_jits_and_masks_padding(model_and_params):
     @jax.jit
     def fwd(params, rng):
         return model.apply(
-            params, jnp.asarray(b["txt_tokens"]), jnp.asarray(b["time_mel_masks"]),
+            params, jnp.asarray(b["txt_tokens"]), jnp.asarray(b["time_mel_masks"])[..., None],
             jnp.asarray(b["mel2ph"]), jnp.asarray(b["spk_embed"]),
             jnp.asarray(b["mels"]), jnp.asarray(b["f0"]), jnp.asarray(b["uv"]),
             rng=rng)["mel_out"]
@@ -58,7 +58,7 @@ def test_infer_loop(model_and_params):
     @jax.jit
     def infer(params, rng):
         return model.apply(
-            params, jnp.asarray(b["txt_tokens"]), jnp.asarray(b["time_mel_masks"]),
+            params, jnp.asarray(b["txt_tokens"]), jnp.asarray(b["time_mel_masks"])[..., None],
             jnp.asarray(b["mel2ph"]), jnp.asarray(b["spk_embed"]),
             jnp.asarray(b["mels"]), jnp.asarray(b["f0"]), jnp.asarray(b["uv"]),
             infer=True, use_pred_pitch=True, rng=rng)["mel_out"]
@@ -73,12 +73,12 @@ def test_grads_flow(model_and_params):
 
     def loss_fn(p):
         ret = model.apply(
-            p, jnp.asarray(b["txt_tokens"]), jnp.asarray(b["time_mel_masks"]),
+            p, jnp.asarray(b["txt_tokens"]), jnp.asarray(b["time_mel_masks"])[..., None],
             jnp.asarray(b["mel2ph"]), jnp.asarray(b["spk_embed"]),
             jnp.asarray(b["mels"]), jnp.asarray(b["f0"]), jnp.asarray(b["uv"]),
             rng=jax.random.PRNGKey(6), train=True,
             rngs={"dropout": jax.random.PRNGKey(7)})
-        mask = jnp.asarray(b["time_mel_masks"])
+        mask = jnp.asarray(b["time_mel_masks"])[..., None]
         return jnp.abs((ret["mel_out"] - jnp.asarray(b["mels"])) * mask).sum() / mask.sum()
 
     g = jax.jit(jax.grad(loss_fn))(params)

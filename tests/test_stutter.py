@@ -21,7 +21,6 @@ def _hp(**kw):
 
 def _stutter_batch(rng, B=2, S=8, T=64):
     b = synth_batch(rng, B=B, S=S, T=T)
-    b["time_mel_masks"] = b["time_mel_masks"][..., 0]
     stutter = np.zeros((B, T), np.int64)
     stutter[:, 10:20] = 1
     stutter[0, 56:] = -1  # padding region
