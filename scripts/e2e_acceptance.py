@@ -9,7 +9,8 @@ are a deterministic function of the aligned phoneme (plus noise), so a
 working model provably LEARNS (masked-region MCD drops vs the untrained
 baseline) rather than just executing.
 
-Usage: python scripts/e2e_acceptance.py [--steps 600] [--workdir DIR]
+Usage: python scripts/e2e_acceptance.py [--steps 600]
+           [--model spec_denoiser|campnet|a3t|editspeech] [--workdir DIR]
 Prints one JSON line with mcd_untrained / mcd_trained / improvement.
 """
 
@@ -85,9 +86,20 @@ def run_cli(cfg: str, exp: str, *extra: str):
                    check=True, env=env, cwd=REPO)
 
 
+TASKS = {
+    "spec_denoiser":
+        "speech_editing_tpu.training.tasks.spec_denoiser.SpecDenoiserTask",
+    "campnet": "speech_editing_tpu.training.tasks.campnet.CampNetTask",
+    "a3t": "speech_editing_tpu.training.tasks.a3t.A3TTask",
+    "editspeech":
+        "speech_editing_tpu.training.tasks.editspeech.EditSpeechTask",
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--model", default="spec_denoiser", choices=sorted(TASKS))
     ap.add_argument("--workdir", default="/tmp/e2e_acceptance")
     args = ap.parse_args()
 
@@ -103,8 +115,7 @@ def main():
 
     hp = dict(TINY_HP)
     hp.update({
-        "task_cls":
-            "speech_editing_tpu.training.tasks.spec_denoiser.SpecDenoiserTask",
+        "task_cls": TASKS[args.model],
         "binary_data_dir": data_dir,
         "max_updates": args.steps, "val_check_interval": args.steps,
         "max_tokens": 4000, "max_sentences": 8, "num_sanity_val_steps": 1,
@@ -121,7 +132,7 @@ def main():
         hp["max_updates"] = steps
         hp["val_check_interval"] = steps
         yaml.safe_dump(hp, open(cfg, "w"))
-        exp = f"e2e_{tag}"
+        exp = f"e2e_{args.model}_{tag}"
         ckpt_dir = os.path.join(REPO, "checkpoints", exp)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
         run_cli(cfg, exp, "--reset")
@@ -138,7 +149,8 @@ def main():
     improvement = results["mcd_untrained"] / max(results["mcd_trained"], 1e-9)
     ok = results["mcd_trained"] < results["mcd_untrained"] * 0.7
     print(json.dumps({**results, "improvement_x": round(improvement, 2),
-                      "steps": args.steps, "pass": bool(ok)}))
+                      "model": args.model, "steps": args.steps,
+                      "pass": bool(ok)}))
     if not ok:
         sys.exit(1)
 

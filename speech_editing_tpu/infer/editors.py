@@ -118,3 +118,39 @@ class EditSpeechInfer(_InPlaceEditInfer):
             out["forward_outputs"], out["backward_outputs"],
             jnp.asarray(item["mel"])[None], jnp.asarray(tm)[None])
         return np.asarray(fused)[0]
+
+
+INFER_BY_TASK = {
+    "campnet": CampNetInfer,
+    "a3t": A3TInfer,
+    "editspeech": EditSpeechInfer,
+}
+
+
+def infer_cls_for_hp(hp) -> type:
+    """Pick the editor driver from the config's ``task_cls`` (the reference
+    ships one script per model, ``inference/tts/{campnet,a3t,editspeech}.py``;
+    here one CLI dispatches on the experiment's task)."""
+    task_cls = str(hp.get("task_cls", "")).lower()
+    for key, cls in INFER_BY_TASK.items():
+        if key in task_cls:
+            return cls
+    raise SystemExit(
+        f"cannot infer editor from task_cls={hp.get('task_cls')!r}; "
+        f"expected one of {sorted(INFER_BY_TASK)}")
+
+
+if __name__ == "__main__":
+    from speech_editing_tpu.config.hparams import set_hparams
+    from speech_editing_tpu.infer.spec_denoiser import (data_preprocess,
+                                                        load_dataset_info)
+
+    hp = set_hparams()
+    cls = infer_cls_for_hp(hp)
+    test_file_path = hp.get("infer_csv", "inference/example.csv")
+    dataset_info = data_preprocess(
+        test_file_path, "inference/audio",
+        hp.get("mfa_dict", "data/processed/libritts/mfa_dict.txt"),
+        hp.get("mfa_model", "data/processed/libritts/mfa_model.zip"),
+        "inference/audio/mfa_out", align=bool(hp.get("mfa_align", True)))
+    cls.example_run(dataset_info, hp)
