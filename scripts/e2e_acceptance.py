@@ -10,7 +10,8 @@ working model provably LEARNS (masked-region MCD drops vs the untrained
 baseline) rather than just executing.
 
 Usage: python scripts/e2e_acceptance.py [--steps 600]
-           [--model spec_denoiser|campnet|a3t|editspeech] [--workdir DIR]
+           [--model spec_denoiser|campnet|a3t|editspeech|stutter_speech]
+           [--workdir DIR]
 Prints one JSON line with mcd_untrained / mcd_trained / improvement.
 """
 
@@ -29,6 +30,14 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def _stutter_mask(rs, t_len: int, i: int):
+    m = np.zeros(t_len, np.int64)
+    if i % 3 == 0 and t_len > 16:
+        a = int(rs.randint(0, t_len - 12))
+        m[a: a + int(rs.randint(6, 12))] = 1
+    return m
 
 
 def write_structured_corpus(data_dir: str, n_items: int = 24, vocab: int = 12,
@@ -64,6 +73,8 @@ def write_structured_corpus(data_dir: str, n_items: int = 24, vocab: int = 12,
                 "pitch": np.clip(f0, 1, 255).astype(np.int64),
                 "spk_embed": np.zeros(256, np.float32), "spk_id": 0,
                 "wav_fn": "",
+                # a contiguous stutter span in 1/3 of items (stutter stack)
+                "stutter_mel_mask": _stutter_mask(rs, t_len, i),
             })
             lengths.append(t_len)
         builder.finalize()
@@ -93,6 +104,8 @@ TASKS = {
     "a3t": "speech_editing_tpu.training.tasks.a3t.A3TTask",
     "editspeech":
         "speech_editing_tpu.training.tasks.editspeech.EditSpeechTask",
+    "stutter_speech":
+        "speech_editing_tpu.training.tasks.stutter_speech.StutterSpeechTask",
 }
 
 

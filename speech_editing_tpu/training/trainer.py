@@ -454,7 +454,8 @@ class Trainer:
                 t_len = int(mel_lens[b])
                 mel_p = mel_pred[b, :t_len]
                 mel_g = np.asarray(raw["mels"])[b, :t_len]
-                wav_p = (wavs_out[b] if wavs_out is not None
+                wav_p = (wavs_out[b][: t_len * int(hp.get("hop_size", 256))]
+                         if wavs_out is not None
                          else vocoder.spec2wav(mel_p))
                 wav_g = vocoder.spec2wav(mel_g)
                 save_wav(wav_p, f"{gen_dir}/wavs/[P]{item_name}.wav", sr)
