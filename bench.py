@@ -78,8 +78,7 @@ def main():
         txt, mask, mel2ph, None, mel0, f0, uv)
     vparams = jax.jit(voc.init)(jax.random.PRNGKey(2), mel0)
 
-    @jax.jit
-    def edit(params, vps, wav_in, txt, mask, mel2ph, rng):
+    def edit_body(params, vps, wav_in, txt, mask, mel2ph, rng):
         # the FULL edit pipeline as one XLA program: on-device mel (Pallas)
         # + on-device f0 (ops.pitch) -> masked diffusion -> vocoder
         mel = mel_spectrogram(wav_in, cfg)[:, :T]
@@ -90,19 +89,50 @@ def main():
         comp = out["mel_out"] * mask + mel * (1 - mask)
         return voc.apply(vps, comp)
 
+    edit = jax.jit(edit_body)
     rng = jax.random.PRNGKey(3)
     args = (variables, vparams, wav_j, txt, mask, mel2ph)
+    # Run K edits INSIDE one XLA program (scan over rng keys) and difference
+    # two K values: per-call wall time through the axon tunnel carries a
+    # large round-trip component and can even resolve optimistically, so
+    # per-call medians are untrustworthy; the K2-K1 in-program delta
+    # measures true sequential device execution with all call overhead
+    # cancelled.
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=7)
+    def edit_k(params, vps, wav_in, txt, mask, mel2ph, rng, k):
+        # the carry accumulates EVERY output sample: anything less lets XLA
+        # dead-code-eliminate most of the edit (slicing a conv output
+        # shrinks its receptive field all the way up the graph). The FULL
+        # wav is returned — on the axon backend waiting on a small output
+        # resolves before execution finishes; a real device->host transfer
+        # of the result is the only reliable completion barrier.
+        def body(acc, key):
+            w = edit_body(params, vps, wav_in, txt, mask, mel2ph, key)
+            return acc + w.astype(jnp.float32), None
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((1, n_wav), jnp.float32),
+            jax.random.split(rng, k))
+        return acc
+
     # warmup / compile
     edit(*args, rng).block_until_ready()
-    edit(*args, rng).block_until_ready()
+    # wide K spread: the per-edit device time is sub-ms, so the delta must
+    # dominate tunnel round-trip jitter (~tens of ms)
+    k1, k2 = 10, 110
 
-    times = []
-    for i in range(15):  # CLAUDE.md: median over >=15 calls on this host
-        rng, sub = jax.random.split(rng)
-        t0 = time.perf_counter()
-        edit(*args, sub).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
+    def timed(k):
+        kr = jax.random.fold_in(rng, k)
+        np.asarray(edit_k(*args, kr, k))  # compile + warm
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            np.asarray(edit_k(*args, jax.random.fold_in(kr, i), k))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    med = max(timed(k2) - timed(k1), 1e-9) / (k2 - k1)
     rtf = med / dur_s
     target = 0.1
     print(json.dumps({

@@ -66,34 +66,61 @@ def main():
     tx = build_optimizer(hp)
     state = TrainState.create(variables["params"], tx)
     loss_fn = make_loss_fn(model, hp, sil_token_ids=(3,))
-    train_step = make_train_step(loss_fn, tx, mesh=mesh,
-                                 use_bf16=bool(hp.get("use_bf16", False)))
     sharded = shard_batch(batch, mesh)
 
-    rng = jax.random.PRNGKey(7)
-    # warmup/compile (two steps: first compiles, second settles caches)
-    for _ in range(2):
-        rng, sub = jax.random.split(rng)
-        state, metrics = train_step(state, sharded, sub)
-    jax.block_until_ready(metrics)
+    # Measure K steps INSIDE one XLA program and difference two K values:
+    # per-call wall time on remote backends (axon tunnel) carries a large,
+    # sometimes optimistically-resolved round-trip component, so per-call
+    # medians are not trustworthy; a scan of K dependent steps executes
+    # sequentially on-device and the K2-K1 delta cancels all call overhead.
+    from functools import partial
 
-    times = []
-    for _ in range(args.iters):
-        rng, sub = jax.random.split(rng)
-        t0 = time.perf_counter()
-        state, metrics = train_step(state, sharded, sub)
-        jax.block_until_ready(metrics)
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
+    raw_step = make_train_step(loss_fn, tx, mesh=mesh,
+                               use_bf16=bool(hp.get("use_bf16", False)),
+                               jit=False)
+
+    @partial(jax.jit, static_argnums=3, donate_argnums=(0,))
+    def run_k(state, batch, rng, k):
+        def body(st, key):
+            st, m = raw_step(st, batch, key)
+            return st, m["total_loss"]
+        return jax.lax.scan(body, state, jax.random.split(rng, k))
+
+    k1, k2 = 4, 4 + args.iters
+    rng = jax.random.PRNGKey(7)
+
+    def fetch(st):
+        # completion barrier: on the axon backend, waiting on a small
+        # output can resolve before execution finishes — device->host
+        # transfer of an updated param leaf (written by the LAST step of
+        # the sequential scan) is the only reliable barrier
+        leaf = max(jax.tree.leaves(st.params), key=lambda x: x.size)
+        return np.asarray(leaf)
+
+    def timed(k, st):
+        rngs = jax.random.split(rng, 3)
+        st, losses = run_k(st, sharded, rngs[0], k)  # compile + warm
+        fetch(st)
+        ts = []
+        for r in rngs[1:]:
+            t0 = time.perf_counter()
+            st, losses = run_k(st, sharded, r, k)
+            fetch(st)
+            ts.append(time.perf_counter() - t0)
+        return st, min(ts), losses
+
+    state, t1, _ = timed(k1, state)
+    state, t2, losses = timed(k2, state)
+    step_s = max(t2 - t1, 1e-9) / (k2 - k1)
     frames = args.batch * args.frames
-    fps_chip = frames / med / n_dev
+    fps_chip = frames / step_s / n_dev
     print(json.dumps({
         "metric": "train_frames_per_sec_per_chip",
         "value": round(fps_chip, 1),
-        "unit": f"mel frames/s/chip (step={med*1e3:.1f}ms, "
-                f"batch={frames} frames, {n_dev} devices"
-                f"{', bf16' if args.bf16 else ''})",
-        "total_loss": round(float(metrics["total_loss"]), 4),
+        "unit": f"mel frames/s/chip (step={step_s*1e3:.1f}ms via "
+                f"{k2}-{k1} in-program scan delta, batch={frames} frames, "
+                f"{n_dev} devices{', bf16' if args.bf16 else ''})",
+        "total_loss": round(float(losses[-1]), 4),
     }))
 
 

@@ -73,7 +73,8 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
                     data_axis: str = "data",
                     use_bf16: bool = False,
                     skip_nan_updates: bool = True,
-                    param_specs: Any = None) -> Callable:
+                    param_specs: Any = None,
+                    jit: bool = True) -> Callable:
     """Build ``train_step(state, batch, rng) -> (state, metrics)`` (jitted).
 
     With a mesh, the batch is constrained to be sharded over ``data_axis``
@@ -123,6 +124,10 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
                                opt_state=opt_state)
         return new_state, metrics
 
+    if not jit:
+        # raw step for callers that embed it in a larger program (e.g. a
+        # lax.scan of K steps for tunnel-latency-free benchmarking)
+        return step_fn
     if mesh is not None:
         if param_specs is not None:  # TP: XLA lays out state from constraints
             return jax.jit(step_fn, donate_argnums=(0,))
