@@ -73,8 +73,8 @@ class A3T(nn.Module):
         time_mel_masks [B,T,1]."""
         ret: dict = {}
         h = self.hidden_size
-        txt_nonpadding = (txt_tokens > 0).astype(jnp.float32)
-        mel_nonpadding = (mel2ph > 0).astype(jnp.float32)
+        txt_nonpadding = (txt_tokens > 0).astype(mels.dtype)
+        mel_nonpadding = (mel2ph > 0).astype(mels.dtype)
         t_mel = mels.shape[1]
 
         # text side: embedding + identity segment ids (ph i -> segment i+1)

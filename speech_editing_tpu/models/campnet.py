@@ -54,11 +54,11 @@ class CampNet(nn.Module):
                  train: bool = False, **kw):
         """txt_tokens [B,S]; mels [B,T,80]; time_mel_masks [B,T,1]."""
         ret: dict = {}
-        src_nonpadding = (txt_tokens > 0).astype(jnp.float32)[:, :, None]
+        src_nonpadding = (txt_tokens > 0).astype(mels.dtype)[:, :, None]
         encoder_out = self.encoder(txt_tokens, train=train) * src_nonpadding
 
         mel_nonpadding = (jnp.abs(mels).sum(-1) > 0
-                          ).astype(jnp.float32)[:, :, None]
+                          ).astype(mels.dtype)[:, :, None]
         # coarse: masked frames replaced by the learned mask embedding
         mel_input_coarse = mels * (1 - time_mel_masks) + self.mask_emb * time_mel_masks
         mel_input_coarse = self.mel_encoder(mel_input_coarse) * mel_nonpadding

@@ -37,7 +37,8 @@ class DiffSpeech(nn.Module):
             in_dims=self.out_dims, encoder_hidden=hp["hidden_size"],
             residual_layers=hp["residual_layers"],
             residual_channels=hp["residual_channels"],
-            dilation_cycle_length=hp["dilation_cycle_length"])
+            dilation_cycle_length=hp["dilation_cycle_length"],
+            remat=bool(hp.get("remat_diffnet", False)))
         self.sched = diff_ops.DiffusionSchedule.create(
             schedule_type=hp.get("schedule_type", "cosine"),
             timesteps=hp["timesteps"], time_scale=hp.get("timescale", 1),
@@ -89,7 +90,7 @@ class DiffSpeech(nn.Module):
             x_start = self.norm_spec(ref_mels)
             k_t, k_noise = jax.random.split(rng)
             t = jax.random.randint(k_t, (b,), 0, self.sched.num_timesteps)
-            noise = jax.random.normal(k_noise, x_start.shape, jnp.float32)
+            noise = jax.random.normal(k_noise, x_start.shape, x_start.dtype)
             x_t = diff_ops.q_sample(self.sched, x_start, t, noise)
             eps_pred = self.denoise_fn(x_t * tgt_nonpadding, t, cond)
             ret["noise_pred"] = eps_pred * tgt_nonpadding

@@ -127,7 +127,7 @@ class FastSpeech(StyleEmbedMixin, nn.Module):
             dropout_rate=hp["predictor_dropout"],
             kernel_size=hp["dur_predictor_kernel"])
         if hp.get("use_pitch_embed"):
-            self.pitch_embed = TokenEmbedding(300, h)
+            self.pitch_embed = TokenEmbedding(300, h, onehot=True)
             self.pitch_predictor = PitchPredictor(
                 n_chans=predictor_hidden, n_layers=5, dropout_rate=0.2,
                 odim=2, kernel_size=hp["predictor_kernel"])

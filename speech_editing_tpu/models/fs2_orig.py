@@ -30,7 +30,7 @@ class FastSpeech2Orig(FastSpeech):
         predictor_hidden = hp.get("predictor_hidden", -1)
         predictor_hidden = predictor_hidden if predictor_hidden > 0 else h
         if hp.get("use_energy_embed"):
-            self.energy_embed = TokenEmbedding(300, h, padding_idx=0)
+            self.energy_embed = TokenEmbedding(300, h, padding_idx=0, onehot=True)
             self.energy_predictor = EnergyPredictor(
                 n_chans=predictor_hidden, n_layers=hp.get("predictor_layers", 5),
                 dropout_rate=hp.get("predictor_dropout", 0.2), odim=2,

@@ -206,7 +206,7 @@ class PortaSpeech(StyleEmbedMixin, nn.Module):
             flow_kernel_size=hp.get("prior_flow_kernel_size", 3),
             flow_n_steps=hp.get("prior_flow_n_blocks", 4))
         if hp.get("use_pitch_embed"):
-            self.pitch_embed = TokenEmbedding(300, h)
+            self.pitch_embed = TokenEmbedding(300, h, onehot=True)
         if hp.get("use_spk_embed"):
             self.spk_embed_proj = nn.Dense(h)
         if hp.get("use_spk_id"):

@@ -45,7 +45,8 @@ class GaussianDiffusion(nn.Module):
             encoder_hidden=hp["hidden_size"],
             residual_layers=hp["residual_layers"],
             residual_channels=hp["residual_channels"],
-            dilation_cycle_length=hp["dilation_cycle_length"])
+            dilation_cycle_length=hp["dilation_cycle_length"],
+            remat=bool(hp.get("remat_diffnet", False)))
         self.sched = diff_ops.DiffusionSchedule.create(
             schedule_type=hp.get("schedule_type", "vpsde"),
             timesteps=hp["timesteps"], time_scale=hp.get("timescale", 1))
@@ -80,7 +81,8 @@ class GaussianDiffusion(nn.Module):
                       skip_decoder=True, infer=True,
                       use_pred_mel2ph=use_pred_mel2ph,
                       use_pred_pitch=use_pred_pitch)
-        tgt_nonpadding = (ret["mel2ph"] > 0)[:, :, None].astype(jnp.float32)
+        tgt_nonpadding = (ret["mel2ph"] > 0)[:, :, None].astype(
+            ret["decoder_inp"].dtype)
         ret["cond"] = ret["decoder_inp"] + self.mel_encoder(
             ref_mels * (1 - time_mel_masks)) * tgt_nonpadding
         return ret
@@ -118,7 +120,7 @@ class GaussianDiffusion(nn.Module):
         if not infer:
             k_t, k_noise = jax.random.split(rng)
             t = jax.random.randint(k_t, (b,), 0, self.sched.num_timesteps + 1)
-            noise = jax.random.normal(k_noise, ref_mels.shape, jnp.float32)
+            noise = jax.random.normal(k_noise, ref_mels.shape, ref_mels.dtype)
             x_t = diff_ops.diffuse(self.sched, ref_mels, t, noise) * tgt_nonpadding
             x0_pred = self.denoise_fn(x_t, t, cond) * tgt_nonpadding
             ret["mel_out"] = x0_pred
@@ -130,7 +132,7 @@ class GaussianDiffusion(nn.Module):
             # the same fused program.)
             big_t = self.sched.num_timesteps
             key, sub = jax.random.split(rng)
-            x = jax.random.normal(sub, (b, cond.shape[1], self.out_dims), jnp.float32)
+            x = jax.random.normal(sub, (b, cond.shape[1], self.out_dims), cond.dtype)
             for i in range(big_t - 1, -1, -1):
                 t = jnp.full((b,), i, jnp.int32)
                 key, sub = jax.random.split(key)

@@ -70,7 +70,8 @@ class StutterGaussianDiffusion(nn.Module):
             in_dims=self.out_dims, encoder_hidden=hp["hidden_size"],
             residual_layers=hp["residual_layers"],
             residual_channels=hp["residual_channels"],
-            dilation_cycle_length=hp["dilation_cycle_length"])
+            dilation_cycle_length=hp["dilation_cycle_length"],
+            remat=bool(hp.get("remat_diffnet", False)))
         self.sched = diff_ops.DiffusionSchedule.create(
             schedule_type=hp.get("schedule_type", "vpsde"),
             timesteps=hp["timesteps"], time_scale=hp.get("timescale", 1))
@@ -95,8 +96,12 @@ class StutterGaussianDiffusion(nn.Module):
         ret["stutter_predictor_out"] = self.stutter_predictor(
             decoder_inp, stutter_cond, tgt_nonpadding, train=train)
         if not infer:
-            decoder_inp = decoder_inp + self.stutter_embed(
-                stutter_mel_masks.astype(jnp.int32)) * tgt_nonpadding
+            # one-hot matmul lookup: frame-rate gather backward is a slow
+            # TPU scatter; 0/1 matmul is exact and MXU-friendly
+            oh = jax.nn.one_hot(stutter_mel_masks.astype(jnp.int32), 3,
+                                dtype=self.stutter_embed.embedding.dtype)
+            decoder_inp = decoder_inp + (
+                oh @ self.stutter_embed.embedding) * tgt_nonpadding
         cond = decoder_inp + self.mel_encoder(
             ref_mels * (1 - time_mel_masks)) * tgt_nonpadding
 
@@ -104,14 +109,14 @@ class StutterGaussianDiffusion(nn.Module):
         if not infer:
             k_t, k_noise = jax.random.split(rng)
             t = jax.random.randint(k_t, (b,), 0, self.sched.num_timesteps + 1)
-            noise = jax.random.normal(k_noise, ref_mels.shape, jnp.float32)
+            noise = jax.random.normal(k_noise, ref_mels.shape, ref_mels.dtype)
             x_t = diff_ops.diffuse(self.sched, ref_mels, t, noise) * tgt_nonpadding
             ret["mel_out"] = self.denoise_fn(x_t, t, cond) * tgt_nonpadding
         else:
             big_t = self.sched.num_timesteps
             key, sub = jax.random.split(rng)
             x = jax.random.normal(sub, (b, cond.shape[1], self.out_dims),
-                                  jnp.float32)
+                                  cond.dtype)
             for i in range(big_t - 1, -1, -1):
                 t = jnp.full((b,), i, jnp.int32)
                 key, sub = jax.random.split(key)

@@ -36,16 +36,29 @@ def embed_init(dim: int):
 
 
 class TokenEmbedding(nn.Module):
-    """Embedding with zeroed padding id (reference layers.py:45)."""
+    """Embedding with zeroed padding id (reference layers.py:45).
+
+    ``onehot=True`` computes the lookup as one_hot @ table: identical
+    values (0/1 matmul is exact) but the backward becomes a matmul instead
+    of a scatter-add — ~25x faster on TPU for frame-rate lookups into
+    small tables (pitch/energy coarse bins). Param layout is unchanged.
+    """
 
     vocab_size: int
     dim: int
     padding_idx: int = 0
+    onehot: bool = False
 
     @nn.compact
     def __call__(self, tokens: jax.Array) -> jax.Array:
-        emb = nn.Embed(self.vocab_size, self.dim, embedding_init=embed_init(self.dim),
-                       name="embed")(tokens)
+        embed = nn.Embed(self.vocab_size, self.dim,
+                         embedding_init=embed_init(self.dim), name="embed")
+        if self.onehot:
+            table = embed.embedding
+            oh = jax.nn.one_hot(tokens, self.vocab_size, dtype=table.dtype)
+            emb = oh @ table
+        else:
+            emb = embed(tokens)
         return emb * (tokens != self.padding_idx)[..., None]
 
 
@@ -70,6 +83,8 @@ def sinusoidal_positional_embedding(tokens_or_positions: jax.Array, dim: int,
     if positions is None:
         positions = make_positions(tokens_or_positions, padding_idx)
     max_pos = padding_idx + 1 + positions.shape[1]
+    # (table is an f32 host constant; callers add the result to activations
+    # that may be bf16 — cast at the add site to avoid promoting them)
     table = jnp.asarray(sinusoidal_embedding_table(max_pos, dim, padding_idx))
     return jax.lax.stop_gradient(table[positions])
 
@@ -238,7 +253,8 @@ class FFTBlocks(nn.Module):
             alpha = (self.param("pos_embed_alpha", nn.initializers.ones, (1,))
                      if self.use_pos_embed_alpha else 1.0)
             pos_ids = (~padding_mask).astype(jnp.int32)
-            positions = sinusoidal_positional_embedding(pos_ids, self.hidden_size)
+            positions = sinusoidal_positional_embedding(
+                pos_ids, self.hidden_size).astype(x.dtype)
             x = x + alpha * positions
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = x * nonpad
@@ -267,7 +283,8 @@ class FastSpeechEncoder(nn.Module):
         padding_mask = txt_tokens == 0
         x = math.sqrt(self.hidden_size) * TokenEmbedding(
             self.vocab_size, self.hidden_size, name="embed_tokens")(txt_tokens)
-        x = x + sinusoidal_positional_embedding(txt_tokens, self.hidden_size)
+        x = x + sinusoidal_positional_embedding(
+            txt_tokens, self.hidden_size).astype(x.dtype)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         if self.num_layers > 0:
             x = FFTBlocks(self.hidden_size, self.num_layers, self.kernel_size,

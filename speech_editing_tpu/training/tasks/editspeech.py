@@ -28,7 +28,8 @@ class EditSpeechTask(BaseTask):
 
         def loss_fn(params, batch, rng):
             k_tf, k_drop = jax.random.split(rng)
-            tm = batch["time_mel_masks"][..., None].astype(jnp.float32)
+            tm = batch["time_mel_masks"][..., None].astype(
+                batch["mels"].dtype)  # follow bf16 cast
             out = model.apply(
                 {"params": params}, batch["txt_tokens"], tm,
                 batch["mel2ph"], batch.get("spk_embed"), batch["mels"],

@@ -41,7 +41,8 @@ def make_loss_fn(model: GaussianDiffusion, hp: Any,
 
     def loss_fn(params, batch, rng):
         k_diff, k_drop = jax.random.split(rng)
-        tm = batch["time_mel_masks"][..., None].astype(jnp.float32)
+        tm = batch["time_mel_masks"][..., None].astype(
+                batch["mels"].dtype)  # follow bf16 cast
         out = model.apply(
             {"params": params}, batch["txt_tokens"], tm, batch["mel2ph"],
             batch.get("spk_embed"), batch["mels"], batch["f0"], batch["uv"],

@@ -49,7 +49,8 @@ class StutterSpeechTask(BaseTask):
 
         def loss_fn(params, batch, rng):
             k_diff, k_drop = jax.random.split(rng)
-            tm = batch["time_mel_masks"][..., None].astype(jnp.float32)
+            tm = batch["time_mel_masks"][..., None].astype(
+                batch["mels"].dtype)  # follow bf16 cast
             labels = collapse_stutter_labels(batch["stutter_mel_masks"])
             out = model.apply(
                 {"params": params}, batch["txt_tokens"], tm, labels,
