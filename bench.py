@@ -89,7 +89,6 @@ def main():
         comp = out["mel_out"] * mask + mel * (1 - mask)
         return voc.apply(vps, comp)
 
-    edit = jax.jit(edit_body)
     rng = jax.random.PRNGKey(3)
     args = (variables, vparams, wav_j, txt, mask, mel2ph)
     # Run K edits INSIDE one XLA program (scan over rng keys) and difference
@@ -109,15 +108,19 @@ def main():
         # resolves before execution finishes; a real device->host transfer
         # of the result is the only reliable completion barrier.
         def body(acc, key):
-            w = edit_body(params, vps, wav_in, txt, mask, mel2ph, key)
+            # per-iteration input perturbation: without it XLA hoists the
+            # rng-independent front-end (mel + f0 extraction, text
+            # conditioning) out of the scan and the K-delta would NOT
+            # include it — the advertised RTF covers the full pipeline
+            w_in = wav_in + jax.random.uniform(
+                key, (), minval=0.0, maxval=1e-7)
+            w = edit_body(params, vps, w_in, txt, mask, mel2ph, key)
             return acc + w.astype(jnp.float32), None
         acc, _ = jax.lax.scan(
             body, jnp.zeros((1, n_wav), jnp.float32),
             jax.random.split(rng, k))
         return acc
 
-    # warmup / compile
-    edit(*args, rng).block_until_ready()
     # wide K spread: the per-edit device time is sub-ms, so the delta must
     # dominate tunnel round-trip jitter (~tens of ms)
     k1, k2 = 10, 110

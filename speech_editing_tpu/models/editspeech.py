@@ -60,7 +60,7 @@ class EditSpeech(nn.Module):
         positions = jnp.broadcast_to(
             jnp.arange(1, t + 1)[None, :], mel2ph.shape)
         decoder_inp = decoder_inp + sinusoidal_positional_embedding(
-            mel2ph, decoder_inp.shape[-1], positions=positions)
+            mel2ph, decoder_inp.shape[-1], positions=positions).astype(decoder_inp.dtype)
 
         # free-running inputs: frame states + prenet of the unmasked mel
         prenet_out = self.prenet(ref_mels * (1 - time_mel_masks))

@@ -100,8 +100,10 @@ class StutterGaussianDiffusion(nn.Module):
             # TPU scatter; 0/1 matmul is exact and MXU-friendly
             oh = jax.nn.one_hot(stutter_mel_masks.astype(jnp.int32), 3,
                                 dtype=self.stutter_embed.embedding.dtype)
-            decoder_inp = decoder_inp + (
-                oh @ self.stutter_embed.embedding) * tgt_nonpadding
+            decoder_inp = decoder_inp + jax.lax.dot_general(
+                oh, self.stutter_embed.embedding,
+                (((oh.ndim - 1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST) * tgt_nonpadding
         cond = decoder_inp + self.mel_encoder(
             ref_mels * (1 - time_mel_masks)) * tgt_nonpadding
 

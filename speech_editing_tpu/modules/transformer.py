@@ -56,7 +56,10 @@ class TokenEmbedding(nn.Module):
         if self.onehot:
             table = embed.embedding
             oh = jax.nn.one_hot(tokens, self.vocab_size, dtype=table.dtype)
-            emb = oh @ table
+            # HIGHEST: keep the 0/1 matmul exact for f32 tables
+            emb = jax.lax.dot_general(
+                oh, table, (((oh.ndim - 1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
         else:
             emb = embed(tokens)
         return emb * (tokens != self.padding_idx)[..., None]

@@ -74,7 +74,10 @@ def expand_states(h: jax.Array, mel2token: jax.Array) -> jax.Array:
     h = jnp.pad(h, ((0, 0), (1, 0), (0, 0)))
     ids = jnp.clip(mel2token, 0, h.shape[1] - 1)
     oh = jax.nn.one_hot(ids, h.shape[1], dtype=h.dtype)
-    return jnp.einsum("bts,bsh->bth", oh, h)
+    # HIGHEST: f32 operands must not be bf16-truncated by the TPU
+    # default matmul precision — the 0/1 matmul must be exact
+    return jnp.einsum("bts,bsh->bth", oh, h,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def mel2token_to_dur(mel2token: jax.Array, T_txt: int,

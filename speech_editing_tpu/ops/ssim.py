@@ -1,9 +1,10 @@
 """SSIM in JAX (gaussian 11x11 window), for the mel SSIM loss.
 
 Numerically mirrors the reference ``utils/metrics/ssim.py`` (window 11,
-sigma 1.5, C1=1e-4, C2=9e-4, SAME padding) but is expressed as two separable
-1-D depthwise convolutions, which XLA fuses far better on TPU than a dense
-11x11 conv2d.
+sigma 1.5, C1=1e-4, C2=9e-4, SAME padding) but expresses each separable 1-D
+blur as a banded-matrix matmul: single-channel 11-tap convs starve the TPU
+MXU, while the (numerically identical) banded matmul runs on the systolic
+array and its backward is another matmul.
 """
 
 from __future__ import annotations
@@ -46,8 +47,9 @@ def _blur(img: jax.Array, window_size: int) -> jax.Array:
     """Separable gaussian blur over the last two dims of [B, T, M]."""
     wt = jnp.asarray(_band_matrix(img.shape[1], window_size))
     wm = jnp.asarray(_band_matrix(img.shape[2], window_size))
-    x = jnp.einsum("ts,bsm->btm", wt, img)
-    return jnp.einsum("btm,mn->btn", x, wm)
+    hi = jax.lax.Precision.HIGHEST  # match f32 conv numerics
+    x = jnp.einsum("ts,bsm->btm", wt, img, precision=hi)
+    return jnp.einsum("btm,mn->btn", x, wm, precision=hi)
 
 
 def ssim_map(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:

@@ -61,6 +61,11 @@ MEL_LOSS_FNS = {"l1": l1_loss, "mse": mse_loss, "ssim": ssim_loss}
 
 def add_mel_loss(losses: dict, mel_out, target, mel_losses_spec: str,
                  postfix: str = ""):
+    # loss tail always reduces in f32: with use_bf16 the model outputs (and
+    # masks) arrive bf16, and a bf16 sum over millions of elements drifts —
+    # upcasting HERE keeps the model compute bf16 but the metrics exact
+    mel_out = mel_out.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     for name, lam in parse_mel_losses(mel_losses_spec).items():
         losses[f"{name}{postfix}"] = MEL_LOSS_FNS[name](mel_out, target) * lam
 
