@@ -60,3 +60,33 @@ def test_mel2ph_to_mel2word():
     ph2word = jnp.array([[1, 1, 2]])
     out = np.asarray(seq_ops.mel2ph_to_mel2word(mel2ph, ph2word))
     np.testing.assert_array_equal(out[0], [1, 1, 1, 2, 0])
+
+
+def test_onehot_embedding_matches_gather_exactly():
+    """TokenEmbedding(onehot=True) and expand_states' one-hot matmul must be
+    BIT-IDENTICAL to the gather formulation (Precision.HIGHEST guards
+    against TPU default-precision bf16 truncation of f32 operands)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_editing_tpu.modules.transformer import TokenEmbedding
+    from speech_editing_tpu.ops.seq_ops import expand_states
+
+    rng = np.random.RandomState(0)
+    # embeddings: same params, both modes
+    tokens = jnp.asarray(rng.randint(0, 300, (4, 128)))
+    m_g = TokenEmbedding(300, 192, onehot=False)
+    m_o = TokenEmbedding(300, 192, onehot=True)
+    v = m_g.init(jax.random.PRNGKey(0), tokens)
+    a = np.asarray(jax.jit(m_g.apply)(v, tokens))
+    b = np.asarray(jax.jit(m_o.apply)(v, tokens))
+    assert np.array_equal(a, b)
+
+    # expand_states vs explicit gather, awkward values included
+    h = jnp.asarray((rng.randn(2, 9, 64) * 1e3 + 0.1234567).astype(np.float32))
+    m2t = jnp.asarray(rng.randint(0, 10, (2, 77)))
+    got = np.asarray(jax.jit(expand_states)(h, m2t))
+    hp = np.pad(np.asarray(h), ((0, 0), (1, 0), (0, 0)))
+    want = np.take_along_axis(
+        hp, np.clip(np.asarray(m2t), 0, 9)[:, :, None], axis=1)
+    assert np.array_equal(got, want)
