@@ -10,8 +10,9 @@ Capability parity with the reference's torch-native spectral losses:
   L1 over resolutions (1024,120,600), (2048,240,1200), (512,50,240)).
 
 All functions are pure, jittable, batched over ``[B, N]`` wavs, and keep
-the whole loss inside one XLA program (framing is a gather, DFT is XLA
-rFFT, mel projection is an MXU matmul).
+the whole loss inside one XLA program (framing is a gather, the DFT runs
+as cos/sin MXU matmuls — TPU's rFFT lowering is ~100x slower — and the mel
+projection is another matmul).
 """
 
 from __future__ import annotations
@@ -31,6 +32,30 @@ def _window(win_length: int, n_fft: int) -> np.ndarray:
     return stft_window("hann", win_length, n_fft).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_matrices(n_fft: int):
+    """Real-DFT as two [n_fft, n_fft//2+1] matmul operands (host constants).
+
+    ``jnp.fft.rfft`` lowers terribly on TPU (measured ~100x slower than the
+    equivalent matmul at mel-frontend shapes — BASELINE.md); the windowed
+    DFT over 1024-point frames is a perfect MXU matmul instead.
+    """
+    k = np.arange(n_fft // 2 + 1)
+    n = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(n, k) / n_fft
+    return (np.cos(ang).astype(np.float32),
+            (-np.sin(ang)).astype(np.float32))
+
+
+def _rfft_magnitude(frames: jax.Array, n_fft: int, eps: float) -> jax.Array:
+    """|rfft(frames)| via DFT matmuls: [B, T, n_fft] -> [B, T, n_fft//2+1]."""
+    cos_m, sin_m = _dft_matrices(n_fft)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("btn,nk->btk", frames, jnp.asarray(cos_m), precision=hi)
+    im = jnp.einsum("btn,nk->btk", frames, jnp.asarray(sin_m), precision=hi)
+    return jnp.sqrt(jnp.maximum(re * re + im * im, eps))
+
+
 def _frame(wav: jax.Array, n_fft: int, hop: int) -> jax.Array:
     """[B, N] -> [B, T, n_fft] frames, no padding (caller pads)."""
     n_frames = 1 + (wav.shape[1] - n_fft) // hop
@@ -46,8 +71,7 @@ def stft_magnitude(wav: jax.Array, n_fft: int, hop: int, win_length: int,
         p = n_fft // 2
         wav = jnp.pad(wav, ((0, 0), (p, p)), mode="reflect")
     frames = _frame(wav, n_fft, hop) * jnp.asarray(_window(win_length, n_fft))
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
-    return jnp.sqrt(jnp.maximum(spec.real ** 2 + spec.imag ** 2, eps))
+    return _rfft_magnitude(frames, n_fft, eps)
 
 
 @functools.lru_cache(maxsize=8)
@@ -66,8 +90,7 @@ def gan_mel_spectrogram(wav: jax.Array, hp) -> jax.Array:
     p = (n_fft - hop) // 2
     wav = jnp.pad(wav, ((0, 0), (p, p)), mode="reflect")
     frames = _frame(wav, n_fft, hop) * jnp.asarray(_window(win, n_fft))
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
-    mag = jnp.sqrt(spec.real ** 2 + spec.imag ** 2 + 1e-9)
+    mag = _rfft_magnitude(frames, n_fft, 1e-9)
     basis = _gan_mel_basis(hp["audio_sample_rate"], n_fft,
                            hp["audio_num_mel_bins"], hp["fmin"], hp["fmax"])
     mel = jnp.einsum("btk,mk->btm", mag, jnp.asarray(basis),
