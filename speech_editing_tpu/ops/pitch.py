@@ -57,8 +57,27 @@ def extract_pitch_jax(wav: jax.Array, hop_size: int = 256,
     w = jnp.asarray(np.hanning(win), jnp.float32)
     fw = frames * w[None, :]
     nfft = int(2 ** np.ceil(np.log2(2 * win)))
-    spec = jnp.fft.rfft(fw, nfft, axis=1)
-    ac = jnp.fft.irfft(spec * jnp.conj(spec), nfft, axis=1)[:, : lag_max + 2]
+    # FFT-free autocorrelation: TPU's rFFT lowering is ~100x slower than
+    # the equivalent matmuls (BASELINE.md). rfft of the zero-padded frame
+    # = fw @ [cos|sin] (only the first `win` DFT rows are nonzero), and
+    # irfft of the (real, even) power spectrum is one cosine-transform
+    # matmul truncated to the ``lag_max + 2`` lags actually used.
+    k = np.arange(nfft // 2 + 1)
+    ang = 2.0 * np.pi * np.outer(np.arange(win), k) / nfft
+    cos_m = jnp.asarray(np.cos(ang), jnp.float32)      # [win, K]
+    sin_m = jnp.asarray(np.sin(ang), jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("tn,nk->tk", fw, cos_m, precision=hi)
+    im = jnp.einsum("tn,nk->tk", fw, sin_m, precision=hi)
+    power = re * re + im * im                          # [T, K]
+    lags = np.arange(lag_max + 2)
+    coef = np.full(nfft // 2 + 1, 2.0)
+    coef[0] = 1.0
+    if nfft % 2 == 0:
+        coef[-1] = 1.0
+    inv = np.cos(2.0 * np.pi * np.outer(k, lags) / nfft) * coef[:, None] / nfft
+    ac = jnp.einsum("tk,kl->tl", power, jnp.asarray(inv, jnp.float32),
+                    precision=hi)                      # [T, lag_max + 2]
     # window autocorrelation normalizer: trace-time numpy constant
     wac_np = np.fft.irfft(np.abs(np.fft.rfft(np.hanning(win), nfft)) ** 2,
                           nfft)[: lag_max + 2]
