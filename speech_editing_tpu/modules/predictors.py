@@ -29,7 +29,7 @@ class DurationPredictor(nn.Module):
             x = nn.Conv(self.n_chans, (self.kernel_size,), padding="SAME",
                         name=f"conv_{i}")(x)
             x = jax.nn.relu(x)
-            x = nn.LayerNorm(name=f"ln_{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(x)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
             if x_padding is not None:
                 x = x * (~x_padding)[:, :, None]
@@ -54,7 +54,7 @@ class PitchPredictor(nn.Module):
             x = nn.Conv(self.n_chans, (self.kernel_size,), padding="SAME",
                         name=f"conv_{i}")(x)
             x = jax.nn.relu(x)
-            x = nn.LayerNorm(name=f"ln_{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(x)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return nn.Dense(self.odim, name="linear")(x)
 

@@ -173,7 +173,7 @@ class EncSALayer(nn.Module):
         nonpad = (~padding_mask)[:, :, None].astype(x.dtype)
         if self.num_heads > 0:
             res = x
-            x = nn.LayerNorm(name="layer_norm1")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="layer_norm1")(x)
             x = MultiheadAttention(self.dim, self.num_heads,
                                    dropout=self.attention_dropout,
                                    name="self_attn")(
@@ -182,7 +182,7 @@ class EncSALayer(nn.Module):
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
             x = (res + x) * nonpad
         res = x
-        x = nn.LayerNorm(name="layer_norm2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="layer_norm2")(x)
         x = ConvFFN(self.dim, 4 * self.dim, self.kernel_size, "SAME",
                     self.relu_dropout, self.act, name="ffn")(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -205,7 +205,7 @@ class DecSALayer(nn.Module):
                  self_attn_padding_mask=None, self_attn_mask=None,
                  train: bool = False):
         res = x
-        h = nn.LayerNorm(name="layer_norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="layer_norm1")(x)
         h = MultiheadAttention(self.dim, self.num_heads,
                                dropout=self.attention_dropout, name="self_attn")(
             h, h, h, key_padding_mask=self_attn_padding_mask,
@@ -216,7 +216,7 @@ class DecSALayer(nn.Module):
         attn_weights = None
         if encoder_out is not None:
             res = x
-            h = nn.LayerNorm(name="layer_norm2")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name="layer_norm2")(x)
             h, attn_weights = MultiheadAttention(
                 self.dim, self.num_heads, dropout=self.attention_dropout,
                 name="encoder_attn")(
@@ -227,7 +227,7 @@ class DecSALayer(nn.Module):
             x = res + h
 
         res = x
-        h = nn.LayerNorm(name="layer_norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="layer_norm3")(x)
         h = ConvFFN(self.dim, 4 * self.dim, self.kernel_size, "LEFT",
                     self.relu_dropout, self.act, name="ffn")(h, train)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
@@ -267,7 +267,7 @@ class FFTBlocks(nn.Module):
                            kernel_size=self.ffn_kernel_size,
                            name=f"layers_{i}")(x, padding_mask, attn_mask, train) * nonpad
         if self.use_last_norm:
-            x = nn.LayerNorm(name="layer_norm")(x) * nonpad
+            x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x) * nonpad
         return x
 
 
@@ -352,6 +352,6 @@ class TransformerDecoder(nn.Module):
                 x, encoder_out, encoder_padding_mask,
                 self_attn_padding_mask, train=train)
             attns.append(attn.mean(axis=1))  # mean over heads -> [B, Tq, Tk]
-        x = nn.LayerNorm(name="layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x)
         attn_avg = jnp.stack(attns).mean(axis=0)
         return x, attn_avg

@@ -147,6 +147,162 @@ def convert_predictor(sd, n_layers: int, prefix: str = "") -> dict:
     return out
 
 
+def convert_mha(sd, prefix: str, num_heads: int) -> dict:
+    """Reference fairseq-style MultiheadAttention
+    (``modules/commons/transformer.py:138-486``) -> flax
+    ``modules.transformer.MultiheadAttention`` (DenseGeneral q/k/v/out).
+
+    The torch module packs QKV into one ``in_proj_weight [3E, E]``; flax
+    keeps per-projection DenseGeneral kernels ``[E, h, d]`` (q/k/v) and
+    ``[h, d, E]`` (out). Head order is preserved (row-major head-major
+    flattening on both sides). The editing models always construct it with
+    ``bias=False`` (transformer.py:499,539-545), so only weights exist.
+    """
+    w = np.asarray(sd[f"{prefix}.in_proj_weight"], np.float32)  # [3E, E]
+    e = w.shape[1]
+    h = num_heads
+    d = e // h
+    wq, wk, wv = w[:e], w[e:2 * e], w[2 * e:]
+    out: dict = {
+        "q_proj": {"kernel": wq.T.reshape(e, h, d)},
+        "k_proj": {"kernel": wk.T.reshape(e, h, d)},
+        "v_proj": {"kernel": wv.T.reshape(e, h, d)},
+        "out_proj": {"kernel": np.asarray(
+            sd[f"{prefix}.out_proj.weight"], np.float32).T.reshape(h, d, e)},
+    }
+    if f"{prefix}.in_proj_bias" in sd:
+        b = np.asarray(sd[f"{prefix}.in_proj_bias"], np.float32)
+        out["q_proj"]["bias"] = b[:e].reshape(h, d)
+        out["k_proj"]["bias"] = b[e:2 * e].reshape(h, d)
+        out["v_proj"]["bias"] = b[2 * e:].reshape(h, d)
+        out["out_proj"]["bias"] = np.asarray(
+            sd[f"{prefix}.out_proj.bias"], np.float32)
+    return out
+
+
+def convert_ffn(sd, prefix: str, padding: str = "SAME") -> dict:
+    """TransformerFFNLayer (transformer.py:76-135) -> flax ConvFFN.
+    'LEFT' (causal) layers wrap the conv in a Sequential(pad, conv), so the
+    conv weights live under ``ffn_1.1``."""
+    conv_key = f"{prefix}.ffn_1" if padding == "SAME" else f"{prefix}.ffn_1.1"
+    return {"ffn_1": torch_conv1d(sd, conv_key),
+            "ffn_2": torch_linear(sd, f"{prefix}.ffn_2")}
+
+
+def convert_enc_sa_layer(sd, prefix: str, num_heads: int) -> dict:
+    """EncSALayer (transformer.py:489-529) -> flax EncSALayer."""
+    return {
+        "layer_norm1": torch_layernorm(sd, f"{prefix}.layer_norm1"),
+        "self_attn": convert_mha(sd, f"{prefix}.self_attn", num_heads),
+        "layer_norm2": torch_layernorm(sd, f"{prefix}.layer_norm2"),
+        "ffn": convert_ffn(sd, f"{prefix}.ffn", "SAME"),
+    }
+
+
+def convert_dec_sa_layer(sd, prefix: str, num_heads: int) -> dict:
+    """DecSALayer (transformer.py:532-614) -> flax DecSALayer (causal FFN
+    + cross-attention)."""
+    return {
+        "layer_norm1": torch_layernorm(sd, f"{prefix}.layer_norm1"),
+        "self_attn": convert_mha(sd, f"{prefix}.self_attn", num_heads),
+        "layer_norm2": torch_layernorm(sd, f"{prefix}.layer_norm2"),
+        "encoder_attn": convert_mha(sd, f"{prefix}.encoder_attn", num_heads),
+        "layer_norm3": torch_layernorm(sd, f"{prefix}.layer_norm3"),
+        "ffn": convert_ffn(sd, f"{prefix}.ffn", "LEFT"),
+    }
+
+
+def convert_fft_blocks(sd, prefix: str, num_layers: int, num_heads: int,
+                       use_pos_embed: bool = False,
+                       use_last_norm: bool = True) -> dict:
+    """FFTBlocks (transformer.py:653-708) -> flax FFTBlocks. Torch wraps
+    each EncSALayer in a TransformerEncoderLayer as ``.op``
+    (transformer.py:617-629)."""
+    out: dict = {}
+    if use_pos_embed and f"{prefix}.pos_embed_alpha" in sd:
+        out["pos_embed_alpha"] = np.asarray(
+            sd[f"{prefix}.pos_embed_alpha"], np.float32)
+    for i in range(num_layers):
+        out[f"layers_{i}"] = convert_enc_sa_layer(
+            sd, f"{prefix}.layers.{i}.op", num_heads)
+    if use_last_norm and f"{prefix}.layer_norm.weight" in sd:
+        out["layer_norm"] = torch_layernorm(sd, f"{prefix}.layer_norm")
+    return out
+
+
+def convert_fastspeech_encoder(sd, prefix: str, num_layers: int,
+                               num_heads: int) -> dict:
+    """FastSpeechEncoder (transformer.py:710-743) -> flax FastSpeechEncoder
+    (token embed + 'fft' FFTBlocks, no pos-embed alpha)."""
+    return {
+        "embed_tokens": {"embed": torch_embedding(sd, f"{prefix}.embed_tokens")},
+        "fft": convert_fft_blocks(sd, prefix, num_layers, num_heads,
+                                  use_pos_embed=False),
+    }
+
+
+def convert_fastspeech_decoder(sd, prefix: str, num_layers: int,
+                               num_heads: int) -> dict:
+    """FastSpeechDecoder (transformer.py:745-747) -> flax FastSpeechDecoder
+    ('fft' FFTBlocks with learned pos-embed alpha)."""
+    return {"fft": convert_fft_blocks(sd, prefix, num_layers, num_heads,
+                                      use_pos_embed=True)}
+
+
+def convert_fastspeech(sd, hp: dict, prefix: str = "",
+                       include_decoder: bool = True) -> dict:
+    """Full reference FastSpeech conditioner
+    (``modules/speech_editing/spec_denoiser/fs.py:49-81`` / the plain
+    ``modules/tts/fs.py``) -> flax params for ``models.fs.FastSpeech``.
+
+    Covers: fft encoder/decoder, mel_out, dur_embed + DurationPredictor,
+    pitch_embed + PitchPredictor, spk embed/id style projections. Only the
+    'fft' encoder/decoder registries are supported (the released FluentSpeech
+    checkpoints use fft/fft per ``egs/spec_denoiser.yaml``).
+    """
+    p = prefix
+    if hp.get("encoder_type", "fft") != "fft" or hp.get("decoder_type", "fft") != "fft":
+        raise NotImplementedError(
+            "checkpoint conversion supports encoder_type=decoder_type='fft'")
+    heads = hp["num_heads"]
+    params: dict = {
+        "encoder": convert_fastspeech_encoder(
+            sd, f"{p}encoder", hp["enc_layers"], heads),
+        "dur_embed": {"embed": torch_embedding(sd, f"{p}dur_embed")},
+        "dur_predictor": convert_predictor(
+            sd, hp["dur_predictor_layers"], prefix=f"{p}dur_predictor."),
+    }
+    if include_decoder:
+        # skip_decoder conditioners (all editing models) never materialize
+        # the flax decoder/mel_out params, so these torch weights are dropped
+        params["decoder"] = convert_fastspeech_decoder(
+            sd, f"{p}decoder", hp["dec_layers"], heads)
+        params["mel_out_proj"] = torch_linear(sd, f"{p}mel_out")
+    if hp.get("use_pitch_embed"):
+        params["pitch_embed"] = {"embed": torch_embedding(sd, f"{p}pitch_embed")}
+        params["pitch_predictor"] = convert_predictor(
+            sd, 5, prefix=f"{p}pitch_predictor.")
+    if hp.get("use_spk_embed"):
+        params["spk_embed_proj"] = torch_linear(sd, f"{p}spk_embed_proj")
+    if hp.get("use_spk_id"):
+        params["spk_id_proj"] = {"embed": torch_embedding(sd, f"{p}spk_id_proj")}
+    return params
+
+
+def convert_gaussian_diffusion(sd, hp: dict) -> dict:
+    """Full reference FluentSpeech checkpoint
+    (``modules/speech_editing/spec_denoiser/spec_denoiser.py:16-72``:
+    fs + mel_encoder + denoise_fn; schedule buffers are recomputed from hp
+    on our side) -> flax params for
+    ``models.spec_denoiser.GaussianDiffusion``."""
+    return {
+        "fs": convert_fastspeech(sd, hp, prefix="fs.", include_decoder=False),
+        "mel_encoder": convert_mel_encoder(sd, prefix="mel_encoder."),
+        "denoise_fn": convert_diffnet(sd, hp["residual_layers"],
+                                      prefix="denoise_fn."),
+    }
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a torch .ckpt/.pt file to a flat numpy state dict (handles the
     reference trainer's {'state_dict': {'model_gen': ...}} nesting)."""

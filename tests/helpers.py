@@ -166,3 +166,29 @@ def synth_batch(rng, B=2, S=8, T=64, n_mels=80):
         "f0_mean": rng.uniform(4.5, 5.5, B).astype(np.float32),
         "f0_std": rng.uniform(0.1, 0.4, B).astype(np.float32),
     }
+
+
+def stub_reference_deps():
+    """Insert no-op stand-ins for the reference repo's missing audio deps
+    (librosa/pyloudnorm/webrtcvad/skimage) so its torch model modules can be
+    imported in this environment for conversion-parity tests. The stubs are
+    import-time only — the parity tests never call into them."""
+    import sys
+    import types
+
+    for name in ("librosa", "librosa.filters", "pyloudnorm", "webrtcvad",
+                 "skimage", "skimage.transform", "textgrid", "parselmouth",
+                 "pycwt", "pyworld"):
+        if name in sys.modules:
+            continue
+        try:
+            __import__(name)
+        except ImportError:
+            mod = types.ModuleType(name)
+            if name == "skimage.transform":
+                mod.resize = None
+            if name == "librosa":
+                mod.filters = types.ModuleType("librosa.filters")
+            if name == "textgrid":
+                mod.TextGrid = type("TextGrid", (), {})
+            sys.modules[name] = mod

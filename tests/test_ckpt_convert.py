@@ -115,6 +115,145 @@ def test_diffnet_torch_to_flax_parity():
     assert err < 2e-3, f"DiffNet activation mismatch: {err}"
 
 
+SD_HP = {
+    # small FluentSpeech config with the reference's structure (fft/fft,
+    # pitch + spk-embed conditioning) — egs/spec_denoiser.yaml shape at
+    # test size
+    "hidden_size": 64, "enc_layers": 2, "dec_layers": 2,
+    "enc_ffn_kernel_size": 9, "dec_ffn_kernel_size": 9, "num_heads": 2,
+    "encoder_type": "fft", "decoder_type": "fft",
+    "audio_num_mel_bins": 80, "use_spk_id": False, "use_spk_embed": True,
+    "predictor_hidden": -1, "dur_predictor_layers": 2,
+    "dur_predictor_kernel": 3, "predictor_dropout": 0.5,
+    "use_pitch_embed": True, "predictor_kernel": 5,
+    "dec_inp_add_noise": False, "predictor_grad": 0.1,
+    "pitch_type": "frame", "use_uv": True, "frames_multiple": 1,
+    "residual_layers": 4, "residual_channels": 32,
+    "dilation_cycle_length": 1, "keep_bins": 80,
+    "schedule_type": "vpsde", "timesteps": 8, "timescale": 1,
+    "diff_loss_type": "l1", "use_masked_cond": True,
+}
+
+
+def _spec_denoiser_inputs(rs, b=2, s=12, t=32, vocab=20):
+    """Random but structurally valid batch for both frameworks."""
+    tokens = rs.randint(1, vocab, (b, s)).astype(np.int64)
+    tokens[0, 10:] = 0
+    tokens[1, 8:] = 0
+    mel2ph = np.zeros((b, t), np.int64)
+    for bi, n_tok in enumerate([10, 8]):
+        # monotone frame->token map over the valid tokens, tail padded
+        n_frames = t - 4 * bi
+        bounds = np.sort(rs.choice(np.arange(1, n_frames), n_tok - 1,
+                                   replace=False))
+        mel2ph[bi, :n_frames] = np.searchsorted(
+            bounds, np.arange(n_frames), side="right") + 1
+    f0 = (rs.rand(b, t).astype(np.float32) * 2 + 6.5)  # log2-ish range
+    uv = (rs.rand(b, t) < 0.2).astype(np.float32)
+    f0 = f0 * (1 - uv)
+    tmm = (rs.rand(b, t) < 0.4).astype(np.float32)[:, :, None]
+    spk = rs.randn(b, 256).astype(np.float32)
+    mels = (rs.randn(b, t, 80).astype(np.float32) * 0.5 - 1.0)
+    return tokens, mel2ph, f0, uv, tmm, spk, mels
+
+
+def test_full_spec_denoiser_torch_to_flax_parity():
+    """Whole-model FluentSpeech parity: the converted checkpoint reproduces
+    the reference GaussianDiffusion forward (conditioner durations, pitch,
+    the full cond tensor, and the denoiser x0 prediction) activation-for-
+    activation. This is the converter that loads the released 568k
+    checkpoint (reference README.md:89)."""
+    torch = pytest.importorskip("torch")
+    from tests.helpers import stub_reference_deps
+    stub_reference_deps()
+    sys.path.insert(0, REF)
+    try:
+        import utils.commons.hparams as ref_hparams  # type: ignore
+
+        ref_hparams.hparams.update(SD_HP)
+        from modules.speech_editing.spec_denoiser.diffnet import \
+            DiffNet as RefDiffNet  # type: ignore
+        from modules.speech_editing.spec_denoiser.spec_denoiser import \
+            GaussianDiffusion as RefGD  # type: ignore
+    except Exception as e:
+        pytest.skip(f"reference import failed: {e}")
+    finally:
+        sys.path.remove(REF)
+
+    import jax
+    import jax.numpy as jnp
+
+    from speech_editing_tpu.models.spec_denoiser.spec_denoiser import \
+        GaussianDiffusion
+    from speech_editing_tpu.utils.convert_torch_ckpt import \
+        convert_gaussian_diffusion
+
+    vocab = 20
+    torch.manual_seed(0)
+    spec_minmax = dict(spec_min=[-6.0] * 80, spec_max=[1.0] * 80)
+    ref = RefGD(phone_encoder=list(range(vocab)), out_dims=80,
+                denoise_fn=RefDiffNet(80),
+                timesteps=SD_HP["timesteps"], time_scale=SD_HP["timescale"],
+                loss_type=SD_HP["diff_loss_type"], **spec_minmax)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_gaussian_diffusion(sd, SD_HP)
+
+    rs = np.random.RandomState(0)
+    tokens, mel2ph, f0, uv, tmm, spk, mels = _spec_denoiser_inputs(
+        rs, vocab=vocab)
+    t_step = np.array([3, 7], np.int64)
+    noise = rs.randn(2, 1, 80, mels.shape[1]).astype(np.float32)  # torch NCHW
+
+    with torch.no_grad():
+        tt = torch.tensor
+        ret_ref = ref.fs(tt(tokens), tt(tmm), tt(mel2ph), tt(spk), tt(f0),
+                         tt(uv), skip_decoder=True, infer=False)
+        tgt_nonpad = (tt(mel2ph) > 0).float()[:, :, None]
+        cond_ref = ret_ref["decoder_inp"] + ref.mel_encoder(
+            tt(mels) * (1 - tt(tmm))) * tgt_nonpad
+        nonpad_nchw = (tt(mel2ph) != 0).float()[:, None, None, :]
+        x_t_ref = ref.diffuse_fn(tt(mels), tt(t_step.copy()),
+                                 tt(noise)) * nonpad_nchw
+        x0_ref = ref.denoise_fn(x_t_ref, tt(t_step),
+                                cond_ref.transpose(1, 2)) * nonpad_nchw
+        x0_ref = x0_ref.numpy()[:, 0].transpose(0, 2, 1)  # [B, T, 80]
+
+    model = GaussianDiffusion(vocab_size=vocab, hp=SD_HP, out_dims=80)
+    init = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(tokens), jnp.asarray(tmm),
+        jnp.asarray(mel2ph), jnp.asarray(spk), jnp.asarray(mels),
+        jnp.asarray(f0), jnp.asarray(uv),
+        rng=jax.random.PRNGKey(1))["params"]
+    flat_i = {jax.tree_util.keystr(p): v.shape for p, v in
+              jax.tree_util.tree_leaves_with_path(init)}
+    flat_c = {jax.tree_util.keystr(p): np.shape(v) for p, v in
+              jax.tree_util.tree_leaves_with_path(params)}
+    assert flat_i == flat_c, set(flat_i.items()) ^ set(flat_c.items())
+
+    ret = model.apply({"params": params}, jnp.asarray(tokens),
+                      jnp.asarray(tmm), jnp.asarray(mel2ph), jnp.asarray(spk),
+                      jnp.asarray(mels), jnp.asarray(f0), jnp.asarray(uv),
+                      method=model.compute_cond)
+    x_t_ours = jnp.asarray(x_t_ref.numpy()[:, 0].transpose(0, 2, 1))
+    x0_ours = model.apply({"params": params}, x_t_ours,
+                          jnp.asarray(t_step), ret["cond"],
+                          method=model.denoise)
+    nonpad = (mel2ph != 0)[:, :, None]
+    x0_ours = np.asarray(x0_ours) * nonpad
+
+    err_dur = np.abs(np.asarray(ret["dur"]) -
+                     ret_ref["dur"].numpy()).max()
+    err_pitch = np.abs(np.asarray(ret["pitch_pred"]) -
+                       ret_ref["pitch_pred"].numpy()).max()
+    err_cond = np.abs(np.asarray(ret["cond"]) - cond_ref.numpy()).max()
+    err_x0 = np.abs(x0_ours - x0_ref).max()
+    assert err_dur < 5e-3, f"dur mismatch: {err_dur}"
+    assert err_pitch < 5e-3, f"pitch mismatch: {err_pitch}"
+    assert err_cond < 5e-3, f"cond mismatch: {err_cond}"
+    assert err_x0 < 1e-2, f"x0 prediction mismatch: {err_x0}"
+
+
 def test_mel_encoder_and_predictors_parity():
     torch = pytest.importorskip("torch")
     sys.path.insert(0, REF)
