@@ -16,15 +16,30 @@ from speech_editing_tpu.utils.audio.io import load_wav
 PESQ_SR = 16000
 
 
+_warned_fallback = False
+
+
 def cal_pesq(ref: np.ndarray, est: np.ndarray, sr: int = PESQ_SR,
              mode: str = "nb") -> float:
+    """ITU C implementation when the ``pesq`` package is installed
+    (preferred, exact); else the vendored numpy P.862 model
+    (``evals.pesq_np`` — approximate, see its docstring)."""
     try:
         from pesq import pesq as _pesq  # type: ignore
-    except ImportError as e:
-        raise ImportError(
-            "PESQ needs the 'pesq' package (ITU-T P.862 C implementation): "
-            "pip install pesq") from e
-    return float(_pesq(sr, ref, est, mode))
+
+        return float(_pesq(sr, ref, est, mode))
+    except ImportError:
+        pass
+    global _warned_fallback
+    if not _warned_fallback:
+        print("| PESQ: 'pesq' package not installed (pip install pesq); "
+              "using the vendored numpy P.862 model (approximate scores)")
+        _warned_fallback = True
+    if mode != "nb":
+        raise ValueError("numpy PESQ fallback implements 'nb' only")
+    from speech_editing_tpu.evals.pesq_np import pesq_np
+
+    return pesq_np(sr, ref, est)
 
 
 def cal_pesq_with_waves_batch(waves_dir_glob: str, mode: str = "nb") -> float:
