@@ -109,6 +109,8 @@ class BaseBinarizer:
                 tg_dir = f"{text2mel_params['processed_data_dir']}/mfa_outputs"
                 tg_fn = f"{tg_dir}/{item_name}.TextGrid"
                 cls.process_align(tg_fn, item, text2mel_params)
+                if text2mel_params.get("trim_eos_bos"):
+                    cls.trim_eos_bos(item, text2mel_params)
             if text2mel_params["with_f0"]:
                 cls.process_pitch(item, text2mel_params)
         except BinarizationError as e:
@@ -165,6 +167,28 @@ class BaseBinarizer:
         item["mel2word"] = mel2word
         item["dur_word"] = mel2token_to_dur(
             np.asarray(mel2word), len(item["word_token"])).tolist()
+
+    @staticmethod
+    def trim_eos_bos(item: dict, p: dict):
+        """Drop the leading BOS / trailing EOS alignment frames
+        (reference ``base_binarizer.py:157-167``): trims mel, mel2ph,
+        mel2word, dur, dur_word and the raw wav by the first/last phone's
+        frame counts. Pitch is extracted afterwards on the trimmed wav, so
+        f0 stays frame-aligned. Like the reference, token sequences are NOT
+        re-indexed — consumers that set this flag must strip BOS/EOS tokens
+        themselves (the reference's word datasets do)."""
+        n_bos = int(item["dur"][0])
+        n_eos = int(item["dur"][-1])
+        t = len(item["mel"])
+        item["mel"] = item["mel"][n_bos: t - n_eos]
+        item["mel2ph"] = list(item["mel2ph"])[n_bos: t - n_eos]
+        item["mel2word"] = list(item["mel2word"])[n_bos: t - n_eos]
+        item["dur"] = list(item["dur"])[1:-1]
+        item["dur_word"] = list(item["dur_word"])[1:-1]
+        item["len"] = item["mel"].shape[0]
+        hop = p["hop_size"]
+        wav = item["wav"]
+        item["wav"] = wav[n_bos * hop: len(wav) - n_eos * hop]
 
     @staticmethod
     def process_pitch(item: dict, p: dict):

@@ -22,10 +22,37 @@ class Interval:
     mark: str
 
 
+def _decode_textgrid_bytes(raw: bytes, path: str) -> str:
+    """Decode a TextGrid file of unknown encoding (reference
+    ``utils/text/encoding.py:1-10`` behavior): BOM sniffing first (Praat
+    writes UTF-16 with BOM on some locales), then chardet when available
+    (GB2312 widened to GB18030 like the reference), then utf-8 with
+    replacement as the last resort."""
+    if raw.startswith((b"\xff\xfe", b"\xfe\xff")):
+        return raw.decode("utf-16")
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return raw.decode("utf-8-sig")
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    try:
+        import chardet  # type: ignore
+
+        enc = chardet.detect(raw)["encoding"]
+        if enc == "GB2312":
+            enc = "GB18030"
+        if enc:
+            return raw.decode(enc, errors="replace")
+    except ImportError:
+        pass
+    return raw.decode("utf-8", errors="replace")
+
+
 def read_textgrid(path: str) -> dict[str, list[Interval]]:
     """Parse a Praat ooTextFile ('long' or 'short' form) into {tier: intervals}."""
-    with open(path, encoding="utf-8", errors="replace") as f:
-        text = f.read()
+    with open(path, "rb") as f:
+        text = _decode_textgrid_bytes(f.read(), path)
     tiers: dict[str, list[Interval]] = {}
     if '"IntervalTier"' not in text:
         raise ValueError(f"no IntervalTier found in {path}")

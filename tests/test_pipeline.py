@@ -95,8 +95,12 @@ def test_full_offline_pipeline(corpus_dirs):
         _write_textgrid(f"{processed}/mfa_outputs/{it['item_name']}.TextGrid",
                         tg_phones, total_sec=1.2)
 
-    # 3. binarize
-    BaseBinarizer(hp).process()
+    # 3. one-command driver: re-runs preprocess (idempotent), skips MFA
+    # (TextGrids already present), binarizes — the align_and_binarize.py
+    # parity surface (reference data_gen/tts/runs/align_and_binarize.py)
+    from speech_editing_tpu.data.align_and_binarize import align_and_binarize
+
+    align_and_binarize(hp)
     for prefix in ("train", "valid", "test"):
         assert os.path.exists(f"{binary}/{prefix}.data")
         assert os.path.exists(f"{binary}/{prefix}_lengths.npy")
@@ -118,6 +122,81 @@ def test_full_offline_pipeline(corpus_dirs):
     assert (s["f0"] != 0).any()
     batch = ds.collater([ds[0], ds[1]])
     assert batch["mels"].shape[0] == 2
+
+
+def test_binarizer_trim_eos_bos(tmp_path):
+    """With ``trim_eos_bos: true`` the BOS/EOS-aligned frames are dropped
+    from mel/mel2ph/mel2word/dur/dur_word/wav and f0 stays frame-aligned
+    (reference base_binarizer.py:157-167)."""
+    sr = 22050
+    raw = tmp_path / "raw" / "vctk"
+    for i, txt in enumerate(["hello world", "two words"]):
+        spk = "p225"
+        (raw / "wav48" / spk).mkdir(parents=True, exist_ok=True)
+        (raw / "txt" / spk).mkdir(parents=True, exist_ok=True)
+        t = np.arange(int(sr * 1.2)) / sr
+        wav = (0.3 * np.sin(2 * np.pi * (160 + 20 * i) * t)).astype(np.float32)
+        save_wav(wav, str(raw / "wav48" / spk / f"utt{i}.wav"), sr)
+        (raw / "txt" / spk / f"utt{i}.txt").write_text(txt)
+    processed = str(tmp_path / "processed/vctk")
+    hp = {"ds_name": "vctk", "raw_data_dir": str(raw),
+          "processed_data_dir": processed, "use_mfa": True, "num_spk": 4,
+          "with_spk_embed": False, "with_wav": True, "valid_range": [0, 1],
+          "test_range": [0, 1], "train_range": [1, -1], "min_mel_length": 10}
+    os.environ["N_PROC"] = "1"
+    BasePreprocessor(hp).process()
+    meta = json.load(open(f"{processed}/metadata.json"))
+    os.makedirs(f"{processed}/mfa_outputs", exist_ok=True)
+    for it in meta:
+        phones = it["ph"].split(" ")
+        tg_phones = [p if not is_sil_phoneme(p) else "" for p in phones]
+        _write_textgrid(f"{processed}/mfa_outputs/{it['item_name']}.TextGrid",
+                        tg_phones, total_sec=1.2)
+
+    def binarize(trim, out):
+        h = dict(hp, binary_data_dir=str(tmp_path / out), trim_eos_bos=trim)
+        BaseBinarizer(h).process()
+        from speech_editing_tpu.data.indexed_dataset import IndexedDataset
+
+        return IndexedDataset(str(tmp_path / out / "train"))[0]
+
+    plain = binarize(False, "bin_plain")
+    trimmed = binarize(True, "bin_trim")
+    n_bos, n_eos = plain["dur"][0], plain["dur"][-1]
+    assert n_bos + n_eos > 0  # corpus has aligned BOS/EOS frames to trim
+    assert len(trimmed["mel"]) == len(plain["mel"]) - n_bos - n_eos
+    assert len(trimmed["mel2ph"]) == len(trimmed["mel"])
+    assert len(trimmed["mel2word"]) == len(trimmed["mel"])
+    assert list(trimmed["dur"]) == list(plain["dur"])[1:-1]
+    assert list(trimmed["dur_word"]) == list(plain["dur_word"])[1:-1]
+    assert len(trimmed["f0"]) == len(trimmed["mel"])
+    assert trimmed["len"] == len(trimmed["mel"])
+    hop = 256
+    assert abs(len(trimmed["wav"]) -
+               (len(plain["wav"]) - (n_bos + n_eos) * hop)) <= hop
+    # interior mel frames are the same audio, shifted by the BOS trim
+    np.testing.assert_allclose(np.asarray(trimmed["mel"][:8], np.float32),
+                               np.asarray(plain["mel"][n_bos:n_bos + 8],
+                                          np.float32), atol=1e-4)
+
+
+@pytest.mark.parametrize("encoding", ["utf-16", "latin-1", "utf-8-sig"])
+def test_textgrid_non_utf8_encodings(tmp_path, encoding):
+    """Non-UTF-8 TextGrids (some MFA/locale combinations) parse via BOM /
+    chardet sniffing (reference utils/text/encoding.py behavior)."""
+    from speech_editing_tpu.utils.audio.align import read_textgrid
+
+    tg = tmp_path / "enc.TextGrid"
+    _write_textgrid(str(tg), ["", "AH", "B", ""], total_sec=1.0)
+    # non-ascii word mark so non-utf8 encodings produce non-utf8 bytes
+    text = tg.read_text(encoding="utf-8").replace('text = "w"',
+                                                  'text = "wörd"')
+    tg.write_bytes(text.encode(encoding))
+    tiers = read_textgrid(str(tg))  # must parse, not crash
+    marks = [iv.mark for iv in tiers["phones"]]
+    assert marks == ["", "AH", "B", ""]
+    if encoding != "latin-1":  # latin-1 fidelity needs chardet (optional)
+        assert tiers["words"][0].mark == "wörd"
 
 
 def test_get_mel2ph_trailing_extra_silence(tmp_path):
