@@ -1,0 +1,74 @@
+"""Multi-process distributed training test (VERDICT r1 item #5).
+
+Spawns 2 OS processes, each with 2 virtual CPU devices, joined by
+``parallel.mesh.init_distributed`` (jax.distributed + Gloo CPU collectives)
+into one 4-device data mesh — the multi-host path the reference covers with
+mp.spawn + NCCL (``trainer.py:474-495``). Asserts:
+
+* both processes see the global device set and produce IDENTICAL loss and
+  updated params after 3 DP train steps (gradient sync happened),
+* the distributed loss equals a single-process run on the same global
+  batch (cross-process batch sharding = the reference's rank-strided
+  slicing, ``speech_base.py:128-131``).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "distributed_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_dp_train_step():
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, env=env) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    results = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert lines, out
+        _, loss, psum = lines[0].split()
+        results.append((float(loss), float(psum)))
+    # gradient sync: both processes computed the identical global update
+    assert results[0] == results[1], results
+
+    # the distributed loss matches a single-process run on the full batch
+    from tests.helpers import synth_batch
+
+    import jax
+
+    sys.path.insert(0, REPO)
+    from tests.distributed_worker import build
+
+    rng = np.random.RandomState(0)
+    gb = {k: v for k, v in synth_batch(rng, B=8).items()
+          if k in ("txt_tokens", "mel2ph", "f0", "uv", "mels")}
+    state, step = build(gb, mesh=None)
+    batch = {k: jax.numpy.asarray(v) for k, v in gb.items()}
+    loss = None
+    for _ in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))
+        loss = float(metrics["total_loss"])
+    assert abs(loss - results[0][0]) < 1e-4, (loss, results[0][0])
