@@ -23,8 +23,10 @@ def main():
 
     # persistent compile cache: repeated bench runs skip the multi-minute
     # cold compile of the fused edit program
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache"))
+    from speech_editing_tpu.utils.os_utils import cpu_keyed_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", cpu_keyed_cache_dir(
+        os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 

@@ -34,8 +34,10 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache"))
+    from speech_editing_tpu.utils.os_utils import cpu_keyed_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", cpu_keyed_cache_dir(
+        os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 

@@ -91,7 +91,10 @@ def seg_mcd(gen_dir: str) -> float:
 
 def run_cli(cfg: str, exp: str, *extra: str):
     env = dict(os.environ)
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+    from speech_editing_tpu.utils.os_utils import cpu_keyed_cache_dir
+
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   cpu_keyed_cache_dir("/tmp/jax_compile_cache"))
     subprocess.run([sys.executable, os.path.join(REPO, "run.py"),
                     "--config", cfg, "--exp_name", exp, *extra],
                    check=True, env=env, cwd=REPO)

@@ -213,6 +213,7 @@ class Trainer:
                 self.validate(max_batches=num_sanity, log=False)
 
             use_accum = accum > 1 and not getattr(self.task, "is_gan", False)
+            grad_fn = apply_fn = None
             if use_accum:
                 from speech_editing_tpu.training.train_state import \
                     make_accum_train_step
@@ -225,7 +226,7 @@ class Trainer:
             pending = first
             self._train_loop(it, pending, max_updates, val_interval,
                              tb_interval, accum, use_accum,
-                             locals().get("grad_fn"), locals().get("apply_fn"),
+                             grad_fn, apply_fn,
                              t0)
         except KeyboardInterrupt:
             # save before exiting (reference base_task.py:231 hook)

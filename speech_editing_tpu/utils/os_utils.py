@@ -41,3 +41,36 @@ def set_single_thread_env():
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
                 "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+
+
+def cpu_keyed_cache_dir(base: str = "/tmp/jax_compile_cache") -> str:
+    """Namespace a persistent XLA compile-cache dir by this host's CPU
+    feature set. The cache stores AOT-compiled CPU code; reusing one dir
+    across unlike hosts triggers XLA's "machine feature mismatch ... could
+    lead to SIGILL" warnings (and worst-case illegal instructions). Keying
+    by the /proc/cpuinfo flags hash gives each CPU generation its own
+    cache, like utils/audio/native.py does for the fastdsp .so."""
+    import hashlib
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        import platform
+
+        feats = platform.machine() + platform.processor()
+    key = hashlib.sha1(feats.encode()).hexdigest()[:10]
+    path = f"{base.rstrip('/')}-{key}"
+    if os.path.isdir(base) and not os.path.isdir(path):
+        # one-time migration: adopt a legacy un-keyed cache (built on some
+        # host; stale foreign entries just recompile and get overwritten)
+        try:
+            os.rename(base, path)
+        except OSError:
+            pass
+    os.makedirs(path, exist_ok=True)
+    return path
