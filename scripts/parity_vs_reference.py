@@ -202,6 +202,42 @@ def reverse_loop_flax(model, params, cond, sched, noises):
     return x
 
 
+def wav_metric_triple(fw_pairs, workdir: str, sr: int = 22050,
+                      hop: int = 256, min_frames: int = 64) -> dict:
+    """Vocode each framework's edited segments + the ground-truth segments
+    with the SAME Griffin-Lim vocoder and run the reference acceptance
+    triple (``eval/get_metrics.py:41-45`` semantics: MCD/STOI/PESQ over
+    ``[G_SEG]``/``[P_SEG]`` pairs).
+
+    Masked spans on the synthetic corpus can be shorter than STOI's
+    30-frame analysis window, so each segment is grown symmetrically with
+    ground-truth context up to ``min_frames`` — identical frame window for
+    both frameworks and for the G_SEG, so the comparison stays paired.
+    """
+    from speech_editing_tpu.evals.get_metrics import compute_all
+    from speech_editing_tpu.utils.audio.griffin_lim import mel2wav_griffin_lim
+    from speech_editing_tpu.utils.audio.io import save_wav
+
+    out = {}
+    for name, pick in (("reference", lambda p: p[1]), ("ours", lambda p: p[0])):
+        wdir = os.path.join(workdir, f"wavs_{name}")
+        os.makedirs(wdir, exist_ok=True)
+        for j, pair in enumerate(fw_pairs):
+            comp, gt, m = pick(pair), pair[2], pair[3]
+            t_len = len(m)
+            idx = np.nonzero(m > 0)[0]
+            lo, hi = int(idx[0]), int(idx[-1]) + 1
+            while hi - lo < min(min_frames, t_len):
+                lo, hi = max(0, lo - 1), min(t_len, hi + 1)
+            for tag, mel in (("P_SEG", comp[lo:hi]), ("G_SEG", gt[lo:hi])):
+                wav = mel2wav_griffin_lim(mel, sample_rate=sr, hop_size=hop)
+                save_wav(wav, os.path.join(wdir, f"[{tag}]edit_{j}.wav"), sr)
+        out[name] = compute_all(os.path.join(wdir, "*"))
+        print(f"  wav triple [{name}]: " + "  ".join(
+            f"{k}={v:.4f}" for k, v in out[name].items()), flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
@@ -306,6 +342,8 @@ def main():
     mcd_fw = float(np.mean([r["mcd_frameworks"] for r in rows]))
     mcd_ref = float(np.mean([r["mcd_ref_vs_gt"] for r in rows]))
     mcd_ours = float(np.mean([r["mcd_ours_vs_gt"] for r in rows]))
+    print("| wav-domain metric triple (shared Griffin-Lim vocoder)")
+    wav_triple = wav_metric_triple(fw_pairs, args.workdir)
     report = {
         "protocol": "converted-ckpt, same region edits, same reverse noise",
         "train_steps": args.steps, "n_edits": len(rows),
@@ -315,6 +353,7 @@ def main():
         "mcd_delta_db": abs(mcd_ours - mcd_ref),
         "target_delta_db": 0.5,
         "pass": abs(mcd_ours - mcd_ref) <= 0.5,
+        "wav_metric_triple": wav_triple,
         "rows": rows,
     }
     with open(args.out, "w") as f:
@@ -324,6 +363,11 @@ def main():
     print(f"\n| masked-region MCD vs gt: reference {mcd_ref:.3f} dB, "
           f"ours {mcd_ours:.3f} dB, delta {abs(mcd_ours - mcd_ref):.3f} dB "
           f"(target <= 0.5); framework-vs-framework MCD {mcd_fw:.4f} dB")
+    print("\n| metric | reference (torch) | ours (flax/TPU) |")
+    print("|---|---|---|")
+    for k in ("mcd", "stoi", "pesq"):
+        print(f"| {k.upper()} | {wav_triple['reference'][k]:.4f} "
+              f"| {wav_triple['ours'][k]:.4f} |")
 
 
 if __name__ == "__main__":
