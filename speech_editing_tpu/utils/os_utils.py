@@ -65,12 +65,9 @@ def cpu_keyed_cache_dir(base: str = "/tmp/jax_compile_cache") -> str:
         feats = platform.machine() + platform.processor()
     key = hashlib.sha1(feats.encode()).hexdigest()[:10]
     path = f"{base.rstrip('/')}-{key}"
-    if os.path.isdir(base) and not os.path.isdir(path):
-        # one-time migration: adopt a legacy un-keyed cache (built on some
-        # host; stale foreign entries just recompile and get overwritten)
-        try:
-            os.rename(base, path)
-        except OSError:
-            pass
+    # NEVER adopt a legacy un-keyed cache: XLA's cache key does not include
+    # CPU features, so a hit serves a foreign host's AOT blob verbatim
+    # ("machine feature mismatch ... could lead to SIGILL"). A cold
+    # recompile per host is the correct price.
     os.makedirs(path, exist_ok=True)
     return path
