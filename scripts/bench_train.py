@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--tokens", type=int, default=96)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize DiffNet blocks in the bwd pass")
+    ap.add_argument("--remat-fft", action="store_true",
+                    help="rematerialize FFT-stack layers in the bwd pass")
     ap.add_argument("--iters", type=int, default=15)
     args = ap.parse_args()
 
@@ -52,6 +56,10 @@ def main():
     hp = _flagship_hp()
     if args.bf16:
         hp["use_bf16"] = True
+    if args.remat:
+        hp["remat_diffnet"] = True
+    if args.remat_fft:
+        hp["remat_fft"] = True
     vocab = 80
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev)
@@ -121,7 +129,9 @@ def main():
         "value": round(fps_chip, 1),
         "unit": f"mel frames/s/chip (step={step_s*1e3:.1f}ms via "
                 f"{k2}-{k1} in-program scan delta, batch={frames} frames, "
-                f"{n_dev} devices{', bf16' if args.bf16 else ''})",
+                f"{n_dev} devices{', bf16' if args.bf16 else ''}"
+                f"{', remat' if args.remat else ''}"
+                f"{', remat_fft' if args.remat_fft else ''})",
         "total_loss": round(float(losses[-1]), 4),
     }))
 

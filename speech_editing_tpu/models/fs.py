@@ -67,7 +67,8 @@ class FastSpeech(StyleEmbedMixin, nn.Module):
         if enc_type == "fft":
             self.encoder = FastSpeechEncoder(
                 self.vocab_size, h, hp["enc_layers"], hp["enc_ffn_kernel_size"],
-                num_heads=hp["num_heads"])
+                num_heads=hp["num_heads"],
+                remat=bool(hp.get("remat_fft", False)))
         elif enc_type == "conv":
             self.encoder = TextConvEncoder(
                 self.vocab_size, h, h, tuple(hp["enc_dilations"]), hp["enc_kernel_size"],
@@ -94,7 +95,8 @@ class FastSpeech(StyleEmbedMixin, nn.Module):
         dec_type = hp.get("decoder_type", "fft")
         if dec_type == "fft":
             self.decoder = FastSpeechDecoder(
-                h, hp["dec_layers"], hp["dec_ffn_kernel_size"], hp["num_heads"])
+                h, hp["dec_layers"], hp["dec_ffn_kernel_size"], hp["num_heads"],
+                remat=bool(hp.get("remat_fft", False)))
         elif dec_type == "conv":
             self.decoder = ConvBlocks(
                 h, h, tuple(hp["dec_dilations"]), hp["dec_kernel_size"],

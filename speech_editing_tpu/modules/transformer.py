@@ -111,6 +111,17 @@ class MultiheadAttention(nn.Module):
         q = dense("q_proj")(query) * d ** -0.5  # [B, Tq, h, d]
         k = dense("k_proj")(key)
         v = dense("v_proj")(value)
+        # Blockwise (flash) kernel path: avoids materializing [B,h,Tq,Tk]
+        # logits/probs in HBM. Engages only when nothing needs the full
+        # probability tensor (no custom additive mask, no attention dropout,
+        # no weight readout) — everywhere in the editing/TTS stacks.
+        from speech_editing_tpu.ops.flash_attention import (flash_enabled,
+                                                            flash_mha)
+        if (flash_enabled() and attn_mask is None and not return_weights
+                and (self.dropout == 0 or not train)):
+            out = flash_mha(q, k, v, key_padding_mask=key_padding_mask)
+            return nn.DenseGeneral(self.dim, axis=(-2, -1),
+                                   use_bias=self.bias, name="out_proj")(out)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         if key_padding_mask is not None:
@@ -245,6 +256,9 @@ class FFTBlocks(nn.Module):
     use_pos_embed: bool = True
     use_last_norm: bool = True
     use_pos_embed_alpha: bool = True
+    remat: bool = False  # rematerialize layers in the bwd pass: the frame-
+    # rate FFT stacks are HBM-roofline-bound (measured ~800 GB/s), so
+    # recomputing activations beats storing/reloading them
 
     @nn.compact
     def __call__(self, x: jax.Array, padding_mask: Optional[jax.Array] = None,
@@ -261,11 +275,18 @@ class FFTBlocks(nn.Module):
             x = x + alpha * positions
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = x * nonpad
+
+        def body(layer, x):
+            return layer(x, padding_mask, attn_mask, train) * nonpad
+
+        if self.remat:
+            body = nn.remat(body, prevent_cse=False)
         for i in range(self.num_layers):
-            x = EncSALayer(self.hidden_size, self.num_heads, dropout=self.dropout,
-                           attention_dropout=0.0, relu_dropout=self.dropout,
-                           kernel_size=self.ffn_kernel_size,
-                           name=f"layers_{i}")(x, padding_mask, attn_mask, train) * nonpad
+            x = body(EncSALayer(self.hidden_size, self.num_heads,
+                                dropout=self.dropout, attention_dropout=0.0,
+                                relu_dropout=self.dropout,
+                                kernel_size=self.ffn_kernel_size,
+                                name=f"layers_{i}"), x)
         if self.use_last_norm:
             x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x) * nonpad
         return x
@@ -280,6 +301,7 @@ class FastSpeechEncoder(nn.Module):
     kernel_size: int = 9
     num_heads: int = 2
     dropout: float = 0.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, txt_tokens: jax.Array, attn_mask=None, train: bool = False) -> jax.Array:
@@ -292,6 +314,7 @@ class FastSpeechEncoder(nn.Module):
         if self.num_layers > 0:
             x = FFTBlocks(self.hidden_size, self.num_layers, self.kernel_size,
                           self.dropout, self.num_heads, use_pos_embed=False,
+                          remat=self.remat,
                           name="fft")(x, padding_mask, attn_mask, train)
         return x
 
@@ -302,12 +325,13 @@ class FastSpeechDecoder(nn.Module):
     kernel_size: int = 9
     num_heads: int = 2
     dropout: float = 0.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, padding_mask=None, train: bool = False) -> jax.Array:
         return FFTBlocks(self.hidden_size, self.num_layers, self.kernel_size,
-                         self.dropout, self.num_heads, name="fft")(
-            x, padding_mask, train=train)
+                         self.dropout, self.num_heads, remat=self.remat,
+                         name="fft")(x, padding_mask, train=train)
 
 
 class TransformerEncoder(nn.Module):
