@@ -49,26 +49,55 @@ def extract_pitch_jax(wav: jax.Array, hop_size: int = 256,
 
     pad = half + 1
     wav_p = jnp.pad(wav, (pad, pad + win))
-    centers = (np.arange(n_frames) * hop_size + hop_size // 2) + pad
-    idx = centers[:, None] + np.arange(-half, win - half)[None, :]
-    frames = wav_p[idx]  # [n_frames, win] one gather
-    frames = frames - frames.mean(axis=1, keepdims=True)
-
-    w = jnp.asarray(np.hanning(win), jnp.float32)
-    fw = frames * w[None, :]
     nfft = int(2 ** np.ceil(np.log2(2 * win)))
     # FFT-free autocorrelation: TPU's rFFT lowering is ~100x slower than
     # the equivalent matmuls (BASELINE.md). rfft of the zero-padded frame
-    # = fw @ [cos|sin] (only the first `win` DFT rows are nonzero), and
+    # = frame @ [cos|sin] (only the first `win` DFT rows are nonzero), and
     # irfft of the (real, even) power spectrum is one cosine-transform
     # matmul truncated to the ``lag_max + 2`` lags actually used.
+    #
+    # The framing itself must be neither a gather NOR a conv: an
+    # advanced-index frame extraction ([T, win] overlapping windows)
+    # serializes on TPU, and XLA's conv lowering at HIGHEST precision runs
+    # ~25x under matmul speed (measured 3.1 ms vs 0.1 for identical flops).
+    # Because the windowed DFT is linear in the frame, framing + windowing
+    # + DFT collapse into hop-sized CHUNKED MATMULS: split the win-tap
+    # window into ceil(win/hop) hop-aligned chunks, reshape the signal into
+    # [S, hop] rows (a free reshape — frame starts are hop-aligned), run ONE
+    # einsum against the per-chunk DFT basis, and sum shifted slices. Frame
+    # mean subtraction is linear too: subtract ``mean_t * DFT(window)``.
     k = np.arange(nfft // 2 + 1)
+    kk = nfft // 2 + 1
     ang = 2.0 * np.pi * np.outer(np.arange(win), k) / nfft
-    cos_m = jnp.asarray(np.cos(ang), jnp.float32)      # [win, K]
-    sin_m = jnp.asarray(np.sin(ang), jnp.float32)
+    w_np = np.hanning(win)
+    wcos = w_np[:, None] * np.cos(ang)                 # [win, K]
+    wsin = w_np[:, None] * np.sin(ang)
+    # channels: [cos K | sin K | frame-sum 1]
+    basis = np.concatenate([wcos, wsin, np.ones((win, 1))], axis=1)
+    n_chunks = -(-win // hop_size)
+    pad_win = n_chunks * hop_size
+    basis_p = np.zeros((pad_win, basis.shape[1]), np.float32)
+    basis_p[:win] = basis
+    chunks = jnp.asarray(
+        basis_p.reshape(n_chunks, hop_size, -1))       # [C, hop, 2K+1]
+    ones_c = jnp.asarray(
+        basis_p[:, -1].reshape(n_chunks, hop_size))    # [C, hop]
     hi = jax.lax.Precision.HIGHEST
-    re = jnp.einsum("tn,nk->tk", fw, cos_m, precision=hi)
-    im = jnp.einsum("tn,nk->tk", fw, sin_m, precision=hi)
+    x = wav_p[hop_size // 2 + 1:]                      # frame t starts at t*hop
+    s_rows = n_frames - 1 + n_chunks
+    need = s_rows * hop_size
+    x = jnp.pad(x[:need], (0, max(0, need - x.shape[0])))
+    xr = x.reshape(s_rows, hop_size)                   # [S, hop] free reshape
+    y = jnp.einsum("sj,cjo->cso", xr, chunks, precision=hi)
+    q = jnp.einsum("sj,cj->cs", xr * xr, ones_c, precision=hi)
+    dft = sum(y[c, c:c + n_frames] for c in range(n_chunks))
+    sq = sum(q[c, c:c + n_frames] for c in range(n_chunks))[:, None] / win
+    re_raw = dft[:, :kk]                               # [T, K]
+    im_raw = dft[:, kk:2 * kk]
+    mean = dft[:, -1:] / win                           # [T, 1]
+    # mean-subtracted windowed DFT: DFT(w*(x - m)) = DFT(w*x) - m * DFT(w)
+    re = re_raw - mean * jnp.asarray(wcos.sum(0), jnp.float32)[None, :]
+    im = im_raw - mean * jnp.asarray(wsin.sum(0), jnp.float32)[None, :]
     power = re * re + im * im                          # [T, K]
     lags = np.arange(lag_max + 2)
     coef = np.full(nfft // 2 + 1, 2.0)
@@ -96,7 +125,8 @@ def extract_pitch_jax(wav: jax.Array, hop_size: int = 256,
     lag = best + delta
     f0 = sample_rate / jnp.maximum(lag, 1e-6)
 
-    rms = jnp.sqrt((frames ** 2).mean(axis=1))
+    # rms of the mean-subtracted (unwindowed) frame: E[x^2] - E[x]^2
+    rms = jnp.sqrt(jnp.maximum(sq - mean * mean, 0.0))[:, 0]
     voiced = (r_0 > voicing_threshold) & (rms > 1e-4 + 0.02 * jnp.median(rms))
     f0 = jnp.where(voiced & (f0 >= f0_min) & (f0 <= f0_max), f0, 0.0)
 
