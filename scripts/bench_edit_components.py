@@ -81,6 +81,14 @@ def main():
                                               norm_interp_f0_jax)
     from speech_editing_tpu.training.tasks.spec_denoiser import build_model
 
+    # parse --only FIRST: unjitted flax init dispatches op-by-op (minutes on
+    # a 1-CPU host), so cheap single-stage runs must not pay model/vocoder
+    # setup they don't use
+    all_stages = ("mel", "f0", "cond", "diffusion", "vocoder", "full")
+    wanted = set(args.only.split(",")) if args.only else set(all_stages)
+    need_model = bool(wanted & {"cond", "diffusion", "full"})
+    need_voc = bool(wanted & {"vocoder", "full"})
+
     sr, hop = 22050, 256
     T = args.frames
     n_wav = T * hop
@@ -111,14 +119,21 @@ def main():
     voc = HifiGanGenerator(hp=vhp)
 
     mel0 = mel_spectrogram(wav_j, cfg)[:, :T]
-    variables = jax.jit(model.init)(
-        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
-        txt, mask, mel2ph, None, mel0, f0, uv)
-    vparams = jax.jit(voc.init)(jax.random.PRNGKey(2), mel0)
+    variables = vparams = None
+    if need_model:
+        variables = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0),
+             "diffusion": jax.random.PRNGKey(1)},
+            txt, mask, mel2ph, None, mel0, f0, uv)
+    if need_voc:
+        vparams = jax.jit(voc.init)(jax.random.PRNGKey(2), mel0)
     if args.bf16:
-        vparams = jax.tree.map(lambda x: x.astype(jnp.bfloat16), vparams)
-        variables = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
-                                 if x.dtype == jnp.float32 else x, variables)
+        if vparams is not None:
+            vparams = jax.tree.map(lambda x: x.astype(jnp.bfloat16), vparams)
+        if variables is not None:
+            variables = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                                     if x.dtype == jnp.float32 else x,
+                                     variables)
         mel0 = mel0.astype(jnp.bfloat16)
     sched = diff_ops.DiffusionSchedule.create(
         schedule_type=hp.get("schedule_type", "vpsde"),
@@ -144,8 +159,10 @@ def main():
                           method=model.compute_cond, use_pred_pitch=True)
         return ret["cond"]
 
-    cond0 = cond_fn(jax.random.PRNGKey(0), variables, txt, mask, mel2ph,
-                    mel0, f0, uv)
+    cond0 = None
+    if "diffusion" in wanted:  # only diffusion_fn consumes cond0
+        cond0 = jax.jit(cond_fn)(jax.random.PRNGKey(0), variables, txt, mask,
+                                 mel2ph, mel0, f0, uv)
 
     def diffusion_fn(key, params, cond):
         b = cond.shape[0]
@@ -161,8 +178,12 @@ def main():
         return voc.apply(vps, perturb(key, mel))
 
     def full_fn(key, params, vps, wav_in, txt, mask, mel2ph):
-        mel = mel_spectrogram(perturb(key, wav_in), cfg)[:, :T]
-        f0_hz = extract_pitch_jax(wav_in[0], hop, sr, 80.0, 600.0)[:T]
+        # the perturbed wav feeds BOTH the mel and f0 paths: with the raw
+        # wav_in, the f0 extraction is loop-invariant and XLA hoists it out
+        # of the timing scan, silently excluding its cost from "full"
+        pw = perturb(key, wav_in)
+        mel = mel_spectrogram(pw, cfg)[:, :T]
+        f0_hz = extract_pitch_jax(pw[0], hop, sr, 80.0, 600.0)[:T]
         f0n, uvn = norm_interp_f0_jax(f0_hz)
         out = model.apply(params, txt, mask, mel2ph, None, mel,
                           f0n[None], uvn[None], infer=True, rng=key)
@@ -177,7 +198,6 @@ def main():
         "vocoder": (vocoder_fn, (vparams, mel0)),
         "full": (full_fn, (variables, vparams, wav_j, txt, mask, mel2ph)),
     }
-    wanted = set(args.only.split(",")) if args.only else set(table)
     costs = {}
     for name, (fn, a) in table.items():
         if name not in wanted:

@@ -7,10 +7,12 @@ same Boersma-style normalized-autocorrelation algorithm expressed in
 jax.numpy with static shapes, so the full edit pipeline (mel -> f0 ->
 diffusion -> vocoder) can run as ONE XLA program with no host round-trip.
 
-All autocorrelations are rFFT products (XLA lowers these well on TPU);
-frame gathers are a single advanced-index; the unvoiced-gap interpolation
-replaces numpy's data-dependent ``np.interp`` with cumulative-max
-index fills (jittable, O(T)).
+All autocorrelations are FFT-free matmul DFTs (TPU rFFT lowering is ~100x
+slower than the equivalent MXU matmuls — see BASELINE.md); framing is a
+hop-aligned chunked matmul rather than a gather or conv (both re-read HBM
+per-window); the unvoiced-gap interpolation replaces numpy's
+data-dependent ``np.interp`` with cumulative-max index fills (jittable,
+O(T)).
 """
 
 from __future__ import annotations
