@@ -70,18 +70,65 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
     slicing (``tasks/tts/speech_base.py:128-131``): each leaf's leading dim
     is split across the data axis. Leaves whose leading dim does not divide
     are replicated.
+
+    Multi-host (``jax.process_count() > 1``): every process iterates the
+    same deterministic batch stream (seeded dataset ordering), holds the
+    full global batch as host numpy, and contributes only the rows its
+    local devices own via ``jax.make_array_from_callback`` — the
+    multi-controller equivalent of the reference's rank-strided slicing.
+    ``jax.device_put`` cannot address remote devices, so it is only used
+    single-process. (Duplicating host decode across processes trades a
+    little CPU for exact global-shape agreement; per-process decode would
+    need a cross-host max-length exchange for padding.)
     """
     n = int(np.prod([mesh.shape[a] for a in (axis if isinstance(axis, tuple) else (axis,))]))
     bsh = batch_sharding(mesh, axis)
     rep = replicated(mesh)
+    multiproc = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x) if not isinstance(x, jax.Array) else x
-        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0:
-            return jax.device_put(x, bsh)
-        return jax.device_put(x, rep)
+        sh = (bsh if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0
+              else rep)
+        if multiproc:
+            x_np = np.asarray(x)
+            return jax.make_array_from_callback(
+                x_np.shape, sh, lambda idx, _x=x_np: _x[idx])
+        return jax.device_put(x, sh)
 
     return jax.tree.map(put, batch)
+
+
+def to_host_local(tree: Any) -> Any:
+    """Fetch every leaf of a pytree to host numpy, multi-host safe.
+
+    Single-process leaves (and fully-addressable arrays) are plain
+    ``np.asarray``. Cross-process replicated leaves read the local replica.
+    Cross-process *sharded* leaves are allgathered — that path is a
+    collective, so EVERY process must call this together (the trainer's
+    checkpoint save does). Replaces the reference's implicit
+    state_dict-on-rank-0 gather (``trainer.py:457-470``).
+    """
+
+    def f(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.sharding.is_fully_replicated:
+                return np.asarray(x.addressable_data(0))
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree.map(f, tree)
+
+
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    """Place a host (or process-local) pytree replicated over the global
+    mesh. Works multi-host because each process supplies its own identical
+    host copy (SPMD requires callers pass the same values everywhere —
+    true for seeded init and for checkpoints read from a shared dir)."""
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(np.asarray(x), rep), tree)
 
 
 def pad_batch_to_multiple(batch: Any, multiple: int) -> Any:

@@ -23,7 +23,12 @@ import numpy as np
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    # multi-host safe: replicated leaves read the local replica, sharded
+    # leaves allgather (collective — save_checkpoint is called by every
+    # process before gating the file write to process 0)
+    from speech_editing_tpu.parallel.mesh import to_host_local
+
+    return to_host_local(tree)
 
 
 def get_all_ckpts(work_dir: str) -> list[str]:
@@ -45,9 +50,15 @@ def save_checkpoint(work_dir: str, state: Any, steps: int, epoch: int = 0,
                     val_loss: Optional[float] = None, num_ckpt_keep: int = 3,
                     save_best: bool = False) -> str:
     os.makedirs(work_dir, exist_ok=True)
+    # the gather below may be a collective (TP shards): run it on ALL
+    # processes, then gate the file write to process 0 (reference rank-0
+    # checkpointing, trainer.py:431-449). Assumes work_dir is shared (or
+    # mirrored) across hosts, like the reference's single-node workdir.
     payload = {"state": _to_host(state), "steps": int(steps),
                "epoch": int(epoch), "val_loss": val_loss}
     path = os.path.join(work_dir, f"model_ckpt_steps_{steps}.ckpt")
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return path
     tmp = path + ".part"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=4)

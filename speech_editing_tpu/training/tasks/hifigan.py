@@ -177,10 +177,15 @@ class HifiGanTask(BaseTask):
 
         return jax.jit(infer_fn)
 
-    def make_gan_eval_step(self, model, disc):
+    def make_gan_eval_step(self, model, disc, mesh=None):
         hp = self.hp
 
         def eval_fn(state_params, batch, rng):
+            if mesh is not None:  # multi-host: run over the global mesh
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch = jax.lax.with_sharding_constraint(
+                    batch, NamedSharding(mesh, P("data")))
             y_ = model.apply({"params": state_params["gen"]}, batch["mels"])
             y_mel = gan_mel_spectrogram(batch["wavs"], hp)
             y_hat_mel = gan_mel_spectrogram(y_, hp)

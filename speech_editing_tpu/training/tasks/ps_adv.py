@@ -135,10 +135,15 @@ class PortaSpeechAdvTask(PortaSpeechTask):
                            out_shardings=(rep, rep))
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    def make_gan_eval_step(self, model, disc):
+    def make_gan_eval_step(self, model, disc, mesh=None):
         base_loss = super().make_loss_fn(model, train=False)
 
         def eval_fn(state_params, batch, rng):
+            if mesh is not None:  # multi-host: run over the global mesh
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch = jax.lax.with_sharding_constraint(
+                    batch, NamedSharding(mesh, P("data")))
             total, metrics = base_loss(state_params["gen"], batch, rng)
             metrics = dict(metrics)
             metrics["total_loss"] = total

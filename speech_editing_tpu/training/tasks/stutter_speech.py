@@ -145,9 +145,50 @@ class StutterPredictorTask(BaseTask):
         return loss_fn
 
     def init_model(self, model, batch, rng):
-        return jax.jit(model.init)(
+        variables = jax.jit(model.init)(
             {"params": rng}, jnp.asarray(batch["txt_tokens"]),
             jnp.asarray(batch["mels"]), jnp.asarray(batch["mel2ph"]))
+        wd = self.hp.get("spec_denoiser_work_dir")
+        if wd:
+            variables = self.warm_start_text_encoder(variables, wd)
+        return variables
+
+    def warm_start_text_encoder(self, variables, work_dir_or_ckpt: str):
+        """Copy the pretrained spec_denoiser ``fs.encoder`` params into this
+        predictor's ``txt_encoder`` — the reference does this unconditionally
+        at build time (``tasks/speech_editing/stutter_predictor.py:84-90``,
+        key rename ``fs.encoder`` -> ``txt_encoder``). Gated here on
+        ``spec_denoiser_work_dir`` (the reference's config key) so synthetic
+        unit runs without a pretrained denoiser still work."""
+        import numpy as np
+
+        from speech_editing_tpu.training.checkpoint import (
+            get_last_checkpoint, load_subtree)
+
+        path = work_dir_or_ckpt
+        if not path.endswith(".ckpt"):
+            path, _ = get_last_checkpoint(work_dir_or_ckpt)
+            if path is None:
+                raise FileNotFoundError(
+                    "spec_denoiser_work_dir has no checkpoint: "
+                    f"{work_dir_or_ckpt}")
+        enc = load_subtree(path, "fs/encoder")
+        cur = variables["params"]["txt_encoder"]
+        flat_new, td_new = jax.tree.flatten(enc)
+        flat_cur, td_cur = jax.tree.flatten(cur)
+        if td_new != td_cur:
+            raise ValueError(
+                "pretrained fs.encoder tree does not match txt_encoder "
+                "(encoder_type must match the denoiser's): "
+                f"\n saved={td_new}\n want={td_cur}")
+        for a, b in zip(flat_cur, flat_new):
+            if tuple(np.shape(a)) != tuple(np.shape(b)):
+                raise ValueError(f"warm-start shape mismatch "
+                                 f"{np.shape(a)} vs {np.shape(b)}")
+        params = dict(variables["params"])
+        params["txt_encoder"] = jax.tree.map(jnp.asarray, enc)
+        print(f"| warm-started txt_encoder <- {path}:fs/encoder")
+        return {**variables, "params": params}
 
     def build_infer_fn(self, model):
         def infer_fn(variables, batch, rng):

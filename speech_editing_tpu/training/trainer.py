@@ -34,10 +34,13 @@ from speech_editing_tpu.training.train_state import (TrainState,
 
 
 class TensorBoardLogger:
-    """Thin SummaryWriter wrapper; silently no-ops without tensorboard."""
+    """Thin SummaryWriter wrapper; silently no-ops without tensorboard
+    (or with ``log_dir=None`` — non-main processes in multi-host runs)."""
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: Optional[str]):
         self.writer = None
+        if log_dir is None:
+            return
         try:
             from torch.utils.tensorboard import SummaryWriter
 
@@ -80,13 +83,33 @@ class Trainer:
         # batch padding/sharding granularity = data-axis size (with TP the
         # model axis sees the same batch shard, so only "data" splits it)
         self.n_dev = int(self.mesh.shape.get("data", 1))
+        # multi-host (jax.distributed initialized before Trainer): every
+        # process runs this same loop SPMD-style over the global mesh;
+        # file/terminal output is gated to process 0 (reference rank-0
+        # gating, trainer.py:176-180,431-449)
+        self.n_proc = jax.process_count()
+        self.is_main = jax.process_index() == 0
         self.model = task.build_model()
         self.rng = jax.random.PRNGKey(int(hp.get("seed", 1234)))
         self.state: Optional[TrainState] = None
         self.global_step = 0
-        self.logger = TensorBoardLogger(os.path.join(self.work_dir, "tb_logs"))
+        self.logger = TensorBoardLogger(
+            os.path.join(self.work_dir, "tb_logs") if self.is_main else None)
         self._infer_fn = None
         self._val_vocoder = None
+
+    def _print(self, *args, **kw):
+        if self.is_main:
+            print(*args, **kw)
+
+    def _split_rng(self):
+        """Advance the (process-identical) rng; the returned subkey is host
+        numpy under multi-host so the global-mesh jit can place it (a
+        process-local committed device array would conflict)."""
+        import jax
+
+        self.rng, sub = jax.random.split(self.rng)
+        return np.asarray(sub) if self.n_proc > 1 else sub
 
     # -- data ---------------------------------------------------------------
     def _loader(self, prefix: str, shuffle: bool, endless: bool = False,
@@ -115,6 +138,9 @@ class Trainer:
 
     # -- setup --------------------------------------------------------------
     def _build_state(self, first_batch: dict):
+        """``first_batch`` is the RAW host (numpy) batch: init runs locally
+        and deterministically on every process (same seed -> identical
+        params), then the state is replicated over the global mesh."""
         import jax
 
         if getattr(self.task, "is_gan", False):
@@ -123,7 +149,7 @@ class Trainer:
         self.tx = tx
         self.loss_fn = self.task.make_loss_fn(self.model)
         ckpt_path, steps = get_last_checkpoint(self.work_dir)
-        self.rng, init_rng = jax.random.split(self.rng)
+        init_rng = self._split_rng()
         variables = self.task.init_model(self.model, first_batch, init_rng)
         param_specs = None
         if self.tp_size > 1:
@@ -143,37 +169,57 @@ class Trainer:
             payload = load_checkpoint(ckpt_path)
             state = restore_state(payload, state)
             self.global_step = payload["steps"]
-            print(f"| loaded checkpoint {ckpt_path} (step {self.global_step})")
+            self._print(f"| loaded checkpoint {ckpt_path} "
+                        f"(step {self.global_step})")
+        if self.n_proc > 1:
+            # multi-host: process-local init / host-numpy restore -> one
+            # replicated global array set (TP re-shards via the train
+            # step's param constraints on first use)
+            from speech_editing_tpu.parallel.mesh import replicate_tree
+
+            state = replicate_tree(state, self.mesh)
         self.state = state
         n_params = sum(x.size for x in jax.tree.leaves(state.params))
         mesh_desc = "x".join(f"{a}={s}" for a, s in self.mesh.shape.items())
-        print(f"| model params: {n_params / 1e6:.3f}M | mesh: {mesh_desc}")
+        self._print(f"| model params: {n_params / 1e6:.3f}M | mesh: {mesh_desc}"
+                    + (f" | processes: {self.n_proc}" if self.n_proc > 1
+                       else ""))
 
     def _build_gan_state(self, first_batch: dict):
         """Two-TrainState GAN setup (vocoder): fused gen+disc step."""
         import jax
 
         disc = self.task.build_discriminators()
-        self.rng, init_rng = jax.random.split(self.rng)
+        init_rng = self._split_rng()
         state = self.task.init_gan_state(self.model, disc, first_batch, init_rng)
         self.train_step = self.task.make_gan_train_step(self.model, disc,
                                                         mesh=self.mesh)
-        self.eval_step = self.task.make_gan_eval_step(self.model, disc)
+        self.eval_step = self.task.make_gan_eval_step(self.model, disc,
+                                                      mesh=self.mesh)
         ckpt_path, steps = get_last_checkpoint(self.work_dir)
         if ckpt_path is not None:
             payload = load_checkpoint(ckpt_path)
             state = restore_state(payload, state)
             self.global_step = payload["steps"]
-            print(f"| loaded checkpoint {ckpt_path} (step {self.global_step})")
+            self._print(f"| loaded checkpoint {ckpt_path} "
+                        f"(step {self.global_step})")
+        if self.n_proc > 1:
+            from speech_editing_tpu.parallel.mesh import replicate_tree
+
+            state = replicate_tree(state, self.mesh)
         self.state = state
         n_params = sum(x.size for x in jax.tree.leaves(state.gen_params))
-        print(f"| generator params: {n_params / 1e6:.3f}M | devices: {self.n_dev}")
+        self._print(f"| generator params: {n_params / 1e6:.3f}M "
+                    f"| devices: {self.n_dev}")
 
     def _start_logging(self):
-        """Terminal tee + source snapshot (reference trainer.py:538-559)."""
+        """Terminal tee + source snapshot (reference trainer.py:538-559).
+        Process-0 only: mirrors the reference's rank-0 file outputs."""
         import shutil
         import time as _time
 
+        if not self.is_main:
+            return
         hp = self.hp
         ts = _time.strftime("%Y%m%d%H%M%S")
         log_dir = os.path.join(self.work_dir, "terminal_logs")
@@ -206,8 +252,11 @@ class Trainer:
         loader = self._loader("train", shuffle=True, endless=True)
         try:  # covers ds_workers pool from its very first fork (next(it))
             it = iter(loader)
-            first = self._device_batch(next(it))
-            self._build_state(first)
+            raw_first = next(it)
+            # init sees the RAW host batch (local + deterministic on every
+            # process); the device batch is built after for the first step
+            self._build_state(raw_first)
+            first = self._device_batch(raw_first)
 
             if num_sanity > 0:
                 self.validate(max_batches=num_sanity, log=False)
@@ -231,7 +280,7 @@ class Trainer:
         except KeyboardInterrupt:
             # save before exiting (reference base_task.py:231 hook)
             if self.state is not None:
-                print("| KeyboardInterrupt: saving checkpoint before exit")
+                self._print("| KeyboardInterrupt: saving checkpoint before exit")
                 save_checkpoint(self.work_dir, self.state, self.global_step,
                                 num_ckpt_keep=int(hp.get("num_ckpt_keep", 3)))
             raise
@@ -240,7 +289,7 @@ class Trainer:
         # final checkpoint
         save_checkpoint(self.work_dir, self.state, self.global_step,
                         num_ckpt_keep=int(hp.get("num_ckpt_keep", 3)))
-        print(f"| training done at step {self.global_step}")
+        self._print(f"| training done at step {self.global_step}")
         if getattr(self, "_tee", None) is not None:
             self._tee.close()
             self._tee = None
@@ -259,7 +308,7 @@ class Trainer:
                     batch = (pending if pending is not None
                              else self._device_batch(next(it)))
                     pending = None
-                    self.rng, sub = jax.random.split(self.rng)
+                    sub = self._split_rng()
                     grads, metrics_acc = grad_fn(
                         self.state.params, batch, sub,
                         float(self.global_step))
@@ -272,7 +321,7 @@ class Trainer:
                 batch = (pending if pending is not None
                          else self._device_batch(next(it)))
                 pending = None
-                self.rng, sub = jax.random.split(self.rng)
+                sub = self._split_rng()
                 self.state, metrics_acc = self.train_step(self.state, batch, sub)
             self.global_step += 1
 
@@ -282,12 +331,12 @@ class Trainer:
                 sps = tb_interval / max(dt, 1e-9)
                 t0 = time.time()
                 msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
-                print(f"| step {self.global_step} | {sps:.2f} it/s | {msg}")
+                self._print(f"| step {self.global_step} | {sps:.2f} it/s | {msg}")
                 # NaN tripwire (reference trainer.py:356-363): the jitted
                 # step already skipped the bad update; here we only escalate.
                 if m.get("nan_grads", 0) > 0:
                     self._nan_intervals = getattr(self, "_nan_intervals", 0) + 1
-                    print(f"| WARNING: non-finite gradients at step "
+                    self._print(f"| WARNING: non-finite gradients at step "
                           f"{self.global_step}; update was skipped "
                           f"({self._nan_intervals} consecutive intervals)")
                     if self._nan_intervals >= int(
@@ -319,9 +368,9 @@ class Trainer:
         for first in loader:
             break
         if first is None:
-            print("| empty valid set")
+            self._print("| empty valid set")
             return None
-        self._build_state(self._device_batch(first))
+        self._build_state(first)
         return self.validate()
 
     # -- validation ---------------------------------------------------------
@@ -343,7 +392,7 @@ class Trainer:
             if first_raw is None:
                 first_raw = raw
             batch = self._device_batch(raw)
-            self.rng, sub = jax.random.split(self.rng)
+            sub = self._split_rng()
             metrics = self.eval_step(self.state.params, batch, sub)
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
@@ -354,20 +403,34 @@ class Trainer:
         val_loss = means.get("total_loss")
         if log:
             msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items()))
-            print(f"| validation @ step {self.global_step}: {msg}")
+            self._print(f"| validation @ step {self.global_step}: {msg}")
             for k, v in means.items():
                 self.logger.add_scalar(f"val/{k}", v, self.global_step)
-            if first_raw is not None and int(hp.get("num_valid_plots", 0)) > 0:
-                try:
-                    self._log_valid_media(first_raw)
-                except Exception as e:  # plots must never kill training
-                    print(f"| WARN valid media logging failed: {e}")
+            # media runs process-local inference; keep the rng split on all
+            # processes (stream stays identical) but render on main only
+            do_media = (first_raw is not None
+                        and int(hp.get("num_valid_plots", 0)) > 0)
+            if do_media:
+                sub = self._split_rng()
+                if self.is_main:
+                    try:
+                        self._log_valid_media(first_raw, sub)
+                    except Exception as e:  # plots must never kill training
+                        self._print(f"| WARN valid media logging failed: {e}")
         return val_loss
 
-    def _log_valid_media(self, raw: dict):
+    def _local_params(self):
+        """Params usable by process-local (unmeshed) jits: under multi-host
+        the replicated global arrays are read back to host numpy first."""
+        if self.n_proc > 1:
+            from speech_editing_tpu.parallel.mesh import to_host_local
+
+            return to_host_local(self.state.params)
+        return self.state.params
+
+    def _log_valid_media(self, raw: dict, sub):
         """Mel figure + vocoded audio for the first val item
         (reference speech_base.py:259-281 / spec_denoiser.py plot_wav)."""
-        import jax
         import jax.numpy as jnp
 
         if getattr(self.task, "is_gan", False):
@@ -376,8 +439,7 @@ class Trainer:
             self._infer_fn = self.task.build_infer_fn(self.model)
         keys = self.task.effective_batch_keys()
         batch = {k: jnp.asarray(raw[k]) for k in keys if k in raw}
-        self.rng, sub = jax.random.split(self.rng)
-        out = self._infer_fn({"params": self.state.params}, batch, sub)
+        out = self._infer_fn({"params": self._local_params()}, batch, sub)
         mel_pred = np.asarray(out["mel_out"])[0]
         mel_gt = np.asarray(raw["mels"])[0]
         from speech_editing_tpu.utils.plot import spec_to_figure
@@ -402,6 +464,10 @@ class Trainer:
     def test(self):
         import jax
 
+        if not self.is_main:
+            # test inference is process-local (batch-size-1 style, no mesh
+            # collectives): only process 0 generates + writes outputs
+            return None
         hp = self.hp
         loader = self._loader("test", shuffle=False,
                               max_sentences_key="max_valid_sentences")
@@ -412,8 +478,7 @@ class Trainer:
         if first_raw is None:
             print("| empty test set")
             return
-        first = self._device_batch(first_raw)
-        self._build_state(first)
+        self._build_state(first_raw)
         infer_fn = self.task.build_infer_fn(self.model)
 
         from speech_editing_tpu.infer.vocoder import get_vocoder_cls
@@ -430,7 +495,7 @@ class Trainer:
                               max_sentences_key="max_valid_sentences")
         n_done = 0
         test_num = int(hp.get("test_num", 100))
-        variables = {"params": self.state.params}
+        variables = {"params": self._local_params()}
         for raw in loader:
             if n_done >= test_num:
                 break
@@ -439,7 +504,7 @@ class Trainer:
             import jax.numpy as jnp
 
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            self.rng, sub = jax.random.split(self.rng)
+            sub = self._split_rng()
             out = infer_fn(variables, batch, sub)
             mel_pred = np.asarray(out["mel_out"])
             masks = (np.asarray(raw["time_mel_masks"])

@@ -91,3 +91,49 @@ def test_stutter_predictor_task(rng):
     out = infer_fn(variables, batch, jax.random.PRNGKey(2))
     assert out["logits"].shape == (2, 64 // 16, 3)
     assert out["stutter_pred"].shape == (2, 4)
+
+
+def test_stutter_predictor_warm_start(rng, tmp_path):
+    """VERDICT r2 #5: train a tiny spec_denoiser, save its checkpoint,
+    warm-start the predictor via spec_denoiser_work_dir, and assert the
+    txt_encoder subtree is bit-identical to the denoiser's fs.encoder at
+    step 0 (reference stutter_predictor.py:84-90)."""
+    import optax
+
+    from speech_editing_tpu.training.checkpoint import save_checkpoint
+    from speech_editing_tpu.training.tasks.spec_denoiser import \
+        SpecDenoiserTask
+    from speech_editing_tpu.training.train_state import (TrainState,
+                                                         make_train_step)
+
+    hp = _hp()
+    den_task = SpecDenoiserTask(hp)
+    den_model = den_task.build_model()
+    batch_np = _stutter_batch(rng)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k != "stutter_mel_masks"}
+    variables = den_task.init_model(den_model, batch_np, jax.random.PRNGKey(0))
+    tx = optax.adam(1e-3)
+    state = TrainState.create(variables["params"], tx)
+    step = make_train_step(den_task.make_loss_fn(den_model), tx)
+    for i in range(2):  # a couple of real updates: encoder weights move
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    work_dir = str(tmp_path / "denoiser")
+    save_checkpoint(work_dir, state, steps=2)
+    trained_enc = jax.tree.map(np.asarray, state.params["fs"]["encoder"])
+
+    pred_task = StutterPredictorTask(_hp(spec_denoiser_work_dir=work_dir))
+    pred_model = pred_task.build_model()
+    pv = pred_task.init_model(pred_model, batch_np, jax.random.PRNGKey(7))
+    got = pv["params"]["txt_encoder"]
+    flat_a, td_a = jax.tree.flatten(trained_enc)
+    flat_b, td_b = jax.tree.flatten(got)
+    assert td_a == td_b
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # missing checkpoint dir must fail loudly, not silently cold-start
+    with pytest.raises(FileNotFoundError):
+        bad = StutterPredictorTask(
+            _hp(spec_denoiser_work_dir=str(tmp_path / "nope")))
+        bad.init_model(bad.build_model(), batch_np, jax.random.PRNGKey(0))
