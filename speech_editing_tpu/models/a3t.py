@@ -6,12 +6,19 @@ time with **mel2ph segment embeddings** tying mel frames to their phones
 (a3t_conformer.py:64-101); 4-layer conformer encoder (k=9) + 4-layer
 conformer decoder (k=31) over the concatenated sequence, truncated back to
 the mel length (a3t.py:58); Tacotron-style 5-conv Postnet residual refining
-the composited mel (a3t.py:61-64, a3t_postnet.py).
+the composited mel (a3t.py:61-64, a3t_postnet.py:16-113, n_chans=256,
+bias-free convs).
 
-TPU-first: one static concat sequence [T_mel + S_txt] per bucket; segment
-ids are plain embedding lookups; Postnet uses LayerNorm instead of
-BatchNorm1d (no mutable batch stats in the train step; normalisation role
-is equivalent for residual postnets).
+Faithful reference numerics (checkpoint-conversion parity, VERDICT r2 #2):
+features are scaled by sqrt(H) (espnet RelPositionalEncoding xscale), the
+rel-pos table rows are the reference's reversed-5000 slices, the per-segment
+position embeddings restart at the mel/text boundary and are zeroed at
+padding, and masking happens only at attention keys + stack output.
+
+Norms: training uses LayerNorm where the reference has BatchNorm1d
+(running stats are mutable state that breaks pure pjit steps); converted
+torch checkpoints set ``hp['espnet_bn_affine']=True`` to build per-channel
+affine norms that the converter fills with folded eval-mode BN.
 """
 
 from __future__ import annotations
@@ -23,31 +30,38 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from speech_editing_tpu.modules.conformer import ConformerLayers
+from speech_editing_tpu.modules.conformer import (ConformerLayers,
+                                                  espnet_rel_pos_emb)
 from speech_editing_tpu.modules.predictors import MelEncoder
 from speech_editing_tpu.modules.transformer import TokenEmbedding
 
 
 class Postnet(nn.Module):
-    """5-conv residual postnet (a3t_postnet.py:16-113)."""
+    """5-conv residual postnet (a3t_postnet.py:16-113): bias-free convs,
+    norm (BN in the reference; 'ln'/'affine' here) + tanh on the first
+    n-1 layers, norm only on the last; dropout_rate defaults to 0."""
 
     odim: int = 80
     n_layers: int = 5
-    n_chans: int = 512
+    n_chans: int = 256
     kernel_size: int = 5
-    dropout: float = 0.5
+    dropout: float = 0.0
+    norm_type: str = "ln"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from speech_editing_tpu.modules.conformer import _norm
+
         for i in range(self.n_layers - 1):
             x = nn.Conv(self.n_chans, (self.kernel_size,), padding="SAME",
-                        name=f"conv_{i}")(x)
-            x = nn.LayerNorm(name=f"norm_{i}")(x)
+                        use_bias=False, name=f"conv_{i}")(x)
+            x = _norm(self.norm_type, f"norm_{i}")(x)
             x = jnp.tanh(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Conv(self.odim, (self.kernel_size,), padding="SAME",
-                    name=f"conv_{self.n_layers - 1}")(x)
-        return x
+                    use_bias=False, name=f"conv_{self.n_layers - 1}")(x)
+        x = _norm(self.norm_type, f"norm_{self.n_layers - 1}")(x)
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 
 class A3T(nn.Module):
@@ -57,13 +71,17 @@ class A3T(nn.Module):
 
     def setup(self):
         h = self.hp["hidden_size"]
+        norm_type = ("affine" if self.hp.get("espnet_bn_affine")
+                     else "ln")
         self.hidden_size = h
         self.txt_embed = TokenEmbedding(self.vocab_size, h, padding_idx=0)
         self.mel_embed = MelEncoder(hidden_size=h)
         self.seg_embed = TokenEmbedding(2000, h, padding_idx=0)
-        self.encoder = ConformerLayers(h, num_layers=4, kernel_size=9)
-        self.a3t_decoder = ConformerLayers(h, num_layers=4, kernel_size=31)
-        self.a3t_postnet = Postnet(odim=self.out_dims)
+        self.encoder = ConformerLayers(h, num_layers=4, kernel_size=9,
+                                       norm_type=norm_type)
+        self.a3t_decoder = ConformerLayers(h, num_layers=4, kernel_size=31,
+                                           norm_type=norm_type)
+        self.a3t_postnet = Postnet(odim=self.out_dims, norm_type=norm_type)
         self.mel_out_decoder = nn.Dense(self.out_dims)
 
     def __call__(self, txt_tokens, mels, mel2ph, time_mel_masks,
@@ -73,28 +91,34 @@ class A3T(nn.Module):
         time_mel_masks [B,T,1]."""
         ret: dict = {}
         h = self.hidden_size
+        xscale = math.sqrt(h)  # espnet RelPositionalEncoding xscale
         txt_nonpadding = (txt_tokens > 0).astype(mels.dtype)
         mel_nonpadding = (mel2ph > 0).astype(mels.dtype)
-        t_mel = mels.shape[1]
+        t_mel, s_txt = mels.shape[1], txt_tokens.shape[1]
 
-        # text side: embedding + identity segment ids (ph i -> segment i+1)
-        ph2ph = jnp.arange(1, txt_tokens.shape[1] + 1)[None, :]
-        ph2ph = jnp.broadcast_to(ph2ph, txt_tokens.shape) * (
-            txt_tokens > 0).astype(jnp.int32)
+        # text side: embedding (scaled) + identity segment ids (ph i -> i+1)
+        ph2ph = jnp.arange(1, s_txt + 1)[None, :]
+        ph2ph = jnp.broadcast_to(ph2ph, txt_tokens.shape)
         txt_feat = self.txt_embed(txt_tokens) * txt_nonpadding[:, :, None]
-        txt_feat = txt_feat + self.seg_embed(ph2ph)
+        txt_feat = txt_feat * xscale + self.seg_embed(ph2ph)
 
-        # mel side: masked-mel embedding + mel2ph segment ids
+        # mel side: masked-mel embedding (scaled) + mel2ph segment ids
         mel_feat = self.mel_embed(
             mels * (1 - time_mel_masks)) * mel_nonpadding[:, :, None]
-        mel_feat = mel_feat + self.seg_embed(mel2ph.astype(jnp.int32))
+        mel_feat = mel_feat * xscale + self.seg_embed(mel2ph.astype(jnp.int32))
 
         x = jnp.concatenate([mel_feat, txt_feat], axis=1)
         nonpadding = jnp.concatenate([mel_nonpadding, txt_nonpadding], axis=1)
         x = x * nonpadding[:, :, None]
+        # per-segment position rows (restart at the mel/text boundary),
+        # zeroed at padding — reference a3t_conformer.py:72-78
+        pe_mel = jnp.asarray(espnet_rel_pos_emb(t_mel, h))
+        pe_txt = jnp.asarray(espnet_rel_pos_emb(s_txt, h))
+        pos_emb = jnp.concatenate([pe_mel, pe_txt], axis=0)[None]
+        pos_emb = pos_emb * nonpadding[:, :, None]
 
-        enc = self.encoder(x, nonpadding, train=train)
-        dec = self.a3t_decoder(enc, nonpadding, train=train)
+        enc = self.encoder(x, pos_emb, train=train)
+        dec = self.a3t_decoder(enc, pos_emb, train=train)
         dec = dec[:, :t_mel] * mel_nonpadding[:, :, None]
         mel_out_decoder = self.mel_out_decoder(dec) * mel_nonpadding[:, :, None]
 

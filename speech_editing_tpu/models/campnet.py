@@ -64,7 +64,8 @@ class CampNet(nn.Module):
         mel_input_coarse = self.mel_encoder(mel_input_coarse) * mel_nonpadding
         coarse_h, attn = self.decoder_coarse(
             mel_input_coarse, encoder_out,
-            encoder_padding_mask=(txt_tokens == 0), train=train)
+            encoder_padding_mask=(txt_tokens == 0),
+            padding_mask=(mel_nonpadding[..., 0] == 0), train=train)
         mel_out_coarse = self.mel_out_coarse(coarse_h * mel_nonpadding) * mel_nonpadding
 
         # fine: residual refinement over the coarse-composited mel;

@@ -56,11 +56,14 @@ class EditSpeech(nn.Module):
         ret = self.fs(txt_tokens, None, mel2ph, spk_embed, f0, uv, energy,
                       skip_decoder=True, infer=infer, train=train)
         decoder_inp = ret["decoder_inp"]
-        t = decoder_inp.shape[1]
-        positions = jnp.broadcast_to(
-            jnp.arange(1, t + 1)[None, :], mel2ph.shape)
+        # mel positional embedding keyed off ref_mels channel 0 (reference
+        # editspeech.py:40: embed_positions(ref_mels[..., 0]) — make_positions
+        # counts nonzero entries, so padded frames get the zero row); this
+        # matters for parity because the backward LSTM starts from the
+        # padded tail and carries any difference into valid frames
+        pos_tokens = (ref_mels[..., 0] != 0).astype(jnp.int32)
         decoder_inp = decoder_inp + sinusoidal_positional_embedding(
-            mel2ph, decoder_inp.shape[-1], positions=positions).astype(decoder_inp.dtype)
+            pos_tokens, decoder_inp.shape[-1]).astype(decoder_inp.dtype)
 
         # free-running inputs: frame states + prenet of the unmasked mel
         prenet_out = self.prenet(ref_mels * (1 - time_mel_masks))

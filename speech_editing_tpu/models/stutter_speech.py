@@ -40,9 +40,11 @@ class FrameStutterHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, cond, nonpadding=None, train: bool = False):
+        # num_layers=4, layers_in_block=2 (the reference keeps ConvBlocks'
+        # default n=2; stutter_speech/stutter_predictor.py:51-55)
         x = ConditionalConvBlocks(
             self.hidden_size, self.hidden_size, (1,) * 4, 5,
-            layers_in_block=1, dropout=0.3, name="conv")(
+            layers_in_block=2, dropout=0.3, name="conv")(
             x, cond, nonpadding, train=train)
         return nn.Dense(self.odim, name="linear")(x)
 
@@ -75,6 +77,39 @@ class StutterGaussianDiffusion(nn.Module):
         self.sched = diff_ops.DiffusionSchedule.create(
             schedule_type=hp.get("schedule_type", "vpsde"),
             timesteps=hp["timesteps"], time_scale=hp.get("timescale", 1))
+
+    def denoise(self, x_t, t, cond):
+        """Exposed for apply()-closure based external samplers."""
+        return self.denoise_fn(x_t, t, cond)
+
+    def compute_cond(self, txt_tokens, time_mel_masks, stutter_mel_masks,
+                     mel2ph, spk_embed, ref_mels, f0, uv,
+                     infer: bool = True, use_pred_mel2ph=False,
+                     use_pred_pitch=False):
+        """Conditioner only (fs states + stutter embed [train] + masked-mel
+        encoding), mirroring the reference forward's cond construction
+        (stutter_speech/spec_denoiser.py:164-179) for external drivers and
+        the conversion-parity harness."""
+        ret = self.fs(txt_tokens, time_mel_masks, mel2ph, spk_embed, f0, uv,
+                      skip_decoder=True, infer=infer,
+                      use_pred_mel2ph=use_pred_mel2ph,
+                      use_pred_pitch=use_pred_pitch)
+        decoder_inp = ret["decoder_inp"]
+        mel2ph = ret["mel2ph"]
+        tgt_nonpadding = (mel2ph > 0)[:, :, None].astype(decoder_inp.dtype)
+        stutter_cond = self.mel_encoder(ref_mels) * tgt_nonpadding
+        ret["stutter_predictor_out"] = self.stutter_predictor(
+            decoder_inp, stutter_cond, tgt_nonpadding)
+        if not infer:
+            oh = jax.nn.one_hot(stutter_mel_masks.astype(jnp.int32), 3,
+                                dtype=self.stutter_embed.embedding.dtype)
+            decoder_inp = decoder_inp + jax.lax.dot_general(
+                oh, self.stutter_embed.embedding,
+                (((oh.ndim - 1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST) * tgt_nonpadding
+        ret["cond"] = decoder_inp + self.mel_encoder(
+            ref_mels * (1 - time_mel_masks)) * tgt_nonpadding
+        return ret
 
     def __call__(self, txt_tokens, time_mel_masks, stutter_mel_masks, mel2ph,
                  spk_embed, ref_mels, f0, uv, energy=None,

@@ -353,8 +353,11 @@ class TransformerEncoder(nn.Module):
 
 
 class TransformerDecoder(nn.Module):
-    """Cross-attending decoder returning layer-averaged enc-dec attention
-    (speech_editing/commons/transformer.py:750-811)."""
+    """Cross-attending mel decoder (speech_editing/commons/
+    transformer.py:750-811): learned-alpha sinusoidal pos-emb over
+    frame-nonpadding, per-layer nonpadding re-masking, last norm, and the
+    FIRST layer's head-averaged enc-dec attention as the returned attn
+    (reference ``enc_dec_attn = attns[0]``)."""
 
     hidden_size: int
     num_layers: int
@@ -366,7 +369,23 @@ class TransformerDecoder(nn.Module):
     def __call__(self, x: jax.Array, encoder_out: jax.Array,
                  encoder_padding_mask: Optional[jax.Array] = None,
                  self_attn_padding_mask: Optional[jax.Array] = None,
+                 padding_mask: Optional[jax.Array] = None,
                  train: bool = False):
+        # frame padding: explicit when the caller knows it (CampNet passes
+        # the mel nonpadding); else derived from the input features like the
+        # reference (:786-788). For a TRAINED torch checkpoint the two
+        # coincide (nonzero Linear biases make valid-frame features nonzero)
+        # — but at flax init biases are zero, so deriving from x would
+        # classify mask_emb-replaced frames as padding and kill their grads.
+        if padding_mask is None:
+            padding_mask = jnp.abs(x).sum(-1) == 0
+        nonpad = (~padding_mask)[:, :, None].astype(x.dtype)
+        alpha = self.param("pos_embed_alpha", nn.initializers.ones, (1,))
+        positions = sinusoidal_positional_embedding(
+            (~padding_mask).astype(jnp.int32), self.hidden_size)
+        x = x + alpha * positions.astype(x.dtype)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = x * nonpad
         attns = []
         for i in range(self.num_layers):
             x, attn = DecSALayer(self.hidden_size, self.num_heads,
@@ -375,7 +394,7 @@ class TransformerDecoder(nn.Module):
                                  name=f"layers_{i}")(
                 x, encoder_out, encoder_padding_mask,
                 self_attn_padding_mask, train=train)
+            x = x * nonpad
             attns.append(attn.mean(axis=1))  # mean over heads -> [B, Tq, Tk]
-        x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x)
-        attn_avg = jnp.stack(attns).mean(axis=0)
-        return x, attn_avg
+        x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x) * nonpad
+        return x, attns[0]
