@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--remat-fft", action="store_true",
                     help="rematerialize FFT-stack layers in the bwd pass")
     ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--cost", action="store_true",
+                    help="print XLA cost analysis (flops/bytes) + compiled "
+                         "memory analysis (peak temp allocation) for ONE "
+                         "train step at this shape")
     args = ap.parse_args()
 
     import jax
@@ -96,6 +100,27 @@ def main():
             return st, m["total_loss"]
         return jax.lax.scan(body, state, jax.random.split(rng, k))
 
+    cost_info = {}
+    if args.cost:
+        one_step = jax.jit(raw_step, donate_argnums=(0,))
+        compiled = one_step.lower(state, sharded,
+                                  jax.random.PRNGKey(0)).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        cost_info = {"tflop_per_step": round(ca.get("flops", 0) / 1e12, 3),
+                     "gb_accessed": round(
+                         ca.get("bytes accessed", 0) / 1e9, 2)}
+        try:
+            ma = compiled.memory_analysis()
+            cost_info["peak_hbm_gb"] = round(
+                (ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                 + ma.output_size_in_bytes) / 1e9, 3)
+            cost_info["temp_hbm_gb"] = round(ma.temp_size_in_bytes / 1e9, 3)
+        except Exception:
+            pass
+        del compiled, one_step
+
     k1, k2 = 4, 4 + args.iters
     rng = jax.random.PRNGKey(7)
 
@@ -133,6 +158,7 @@ def main():
                 f"{', remat' if args.remat else ''}"
                 f"{', remat_fft' if args.remat_fft else ''})",
         "total_loss": round(float(losses[-1]), 4),
+        **cost_info,
     }))
 
 
