@@ -73,7 +73,8 @@ class StutterGaussianDiffusion(nn.Module):
             residual_layers=hp["residual_layers"],
             residual_channels=hp["residual_channels"],
             dilation_cycle_length=hp["dilation_cycle_length"],
-            remat=bool(hp.get("remat_diffnet", False)))
+            remat=bool(hp.get("remat_diffnet", False)),
+            allow_fused=bool(hp.get("fused_diffnet", False)))
         self.sched = diff_ops.DiffusionSchedule.create(
             schedule_type=hp.get("schedule_type", "vpsde"),
             timesteps=hp["timesteps"], time_scale=hp.get("timescale", 1))

@@ -79,15 +79,49 @@ def diffusion_step_embedding(t: jax.Array, dim: int) -> jax.Array:
     return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for nn.Conv: declares the identical
+    kernel/bias tree (same names, shapes, initializers) so the fused Pallas
+    path and the nn.Conv path produce interchangeable checkpoints."""
+
+    kernel_shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.kaiming_normal(),
+                       self.kernel_shape)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.kernel_shape[-1],))
+        return k, b
+
+
 class DiffNetResidualBlock(nn.Module):
     residual_channels: int
     dilation: int = 1
+    allow_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array, step_emb: jax.Array):
         """x: [B, T, C]; cond: [B, T, H]; step_emb: [B, C] -> (x', skip)."""
         c = self.residual_channels
-        step = nn.Dense(c, name="diffusion_projection")(step_emb)[:, None, :]
+        step2 = nn.Dense(c, name="diffusion_projection")(step_emb)  # [B, C]
+        step = step2[:, None, :]
+
+        from speech_editing_tpu.ops.pallas.diffnet_block import (
+            fused_diffnet_block, fused_enabled)
+
+        if self.allow_fused and self.dilation == 1 and fused_enabled():
+            # fused Pallas block: conv-as-matmul + gating + projections in
+            # one kernel per batch element (see ops/pallas/diffnet_block.py)
+            hdim = cond.shape[-1]
+            wd, bd = _ConvParams((3, c, 2 * c), name="dilated_conv")()
+            wc, bc = _ConvParams((1, hdim, 2 * c),
+                                 name="conditioner_projection")()
+            wo, bo = _ConvParams((1, c, 2 * c), name="output_projection")()
+            return fused_diffnet_block(
+                x, cond, step2, wd.reshape(3 * c, 2 * c), bd,
+                wc.reshape(hdim, 2 * c), bc, wo.reshape(c, 2 * c), bo)
+
         y = x + step
         y = nn.Conv(2 * c, (3,), kernel_dilation=(self.dilation,), padding="SAME",
                     kernel_init=nn.initializers.kaiming_normal(),
@@ -115,6 +149,9 @@ class DiffNet(nn.Module):
     dilation_cycle_length: int = 1
     remat: bool = False  # rematerialize blocks in bwd: the train step is
     # HBM-bound, so recomputing activations beats storing/reloading them
+    allow_fused: bool = False  # fused Pallas block (dilation 1). Default OFF:
+    # measured SLOWER than XLA's own fusion at both bench shapes
+    # (BASELINE.md "fused DiffNet A/B"); kept as an experimentation gate
 
     @nn.compact
     def __call__(self, spec: jax.Array, diffusion_step: jax.Array,
@@ -135,6 +172,7 @@ class DiffNet(nn.Module):
         for i in range(self.residual_layers):
             x, skip = block_cls(
                 c, 2 ** (i % self.dilation_cycle_length),
+                allow_fused=self.allow_fused,
                 name=f"residual_{i}")(x, cond, step)
             skip_sum = skip_sum + skip
         x = skip_sum / math.sqrt(self.residual_layers)
