@@ -38,6 +38,149 @@ from speech_editing_tpu.utils.text.processors import (get_txt_processor_cls,
 from speech_editing_tpu.utils.text.text_encoder import is_sil_phoneme
 
 
+# -- host-side edit math (shared by the per-item driver and the batched
+# serving engine in infer/serving.py) ----------------------------------------
+def dur_inpaint_prep(item: dict):
+    """Inputs for the duration-inpainting device program (reference :88-91).
+
+    Durations of untouched words anchor the predictor; the tail block is
+    anchored by the EDITED sequence's tail size — if context-dependent g2p
+    re-phonemized the tail differently, clamp to the overlap instead of
+    writing through the changed region.
+
+    Returns (masked_dur [S_edit], masked_mel2ph [T_orig],
+    edit_frames [T_orig] bool).
+    """
+    mel2ph = item["mel2ph"]
+    mel2word = item["mel2word"]
+    dur = item["dur"]
+    ph2word = item["ph2word"]
+    edited_ph2word = item["edited_ph2word"]
+    w0, w1 = item["words_region"][0]
+
+    s_edit = len(edited_ph2word)
+    c1 = item["edited_words_region"][0][1]
+    masked_dur = np.zeros(s_edit, np.int64)
+    n_head_ph = int(np.sum(ph2word < w0))
+    masked_dur[:n_head_ph] = dur[:n_head_ph]
+    n_tail_ph = min(int(np.sum(ph2word > w1)),
+                    int(np.sum(edited_ph2word > c1)))
+    if n_tail_ph > 0:
+        masked_dur[-n_tail_ph:] = dur[-n_tail_ph:]
+
+    edit_frames = (mel2word >= w0) & (mel2word <= w1)
+    masked_mel2ph = np.where(edit_frames, 0, mel2ph)
+    return masked_dur, masked_mel2ph, edit_frames
+
+
+def dur_to_mel2ph(item: dict, dur_pred: np.ndarray, frames_multiple: int):
+    """Length-regulate predicted durations HOST-SIDE at the full predicted
+    length (the jitted regulator is bound to a static frame budget, which
+    would truncate lengthening edits; the reference fs.py:149 regulates to
+    the dynamic sum). Same numeric path as ops/seq_ops.length_regulator:
+    round -> zero padding -> cumsum.
+
+    Returns (edited_mel2ph_pred [T_pred], edited_mel2word [T_pred]).
+    """
+    dur_int = np.round(np.asarray(dur_pred, np.float32)).astype(np.int64)
+    dur_int = dur_int * (item["edited_ph_token"] > 0)
+    cum = np.cumsum(dur_int)
+    fm = int(frames_multiple)
+    t_pred = int(cum[-1]) // fm * fm  # clip_mel2token_to_multiple parity
+    edited_mel2ph_pred = (np.searchsorted(
+        cum, np.arange(t_pred), side="right") + 1).astype(np.int64)
+    edited_mel2word = item["edited_ph2word"][edited_mel2ph_pred - 1]
+    return edited_mel2ph_pred, edited_mel2word
+
+
+def splice_edit(item: dict, edited_mel2ph_pred: np.ndarray,
+                edited_mel2word: np.ndarray, edit_frames: np.ndarray,
+                frames_multiple: int) -> dict:
+    """Frame-level splice [head | predicted edit | shifted tail]
+    (reference :100-131): alignment, ref mel, f0/uv, and the time mask,
+    all floored to the ``frames_multiple`` grid the model clips to.
+
+    Returns {mel2ph, ref_mels, f0, uv, time_mel_masks, t_new}.
+    """
+    mel = item["mel"]
+    mel2ph = item["mel2ph"]
+    mel2word = item["mel2word"]
+    edited_ph2word = item["edited_ph2word"]
+    f0, uv = item["f0"], item["uv"]
+    w0, w1 = item["words_region"][0]
+    c0, c1 = item["edited_words_region"][0]
+
+    in_changed = (edited_mel2word >= c0) & (edited_mel2word <= c1)
+    n_new = int(in_changed.sum())
+    head_idx = int(np.sum((mel2word >= 1) & (mel2word < w0)))
+    tail_mask = mel2word > w1
+    tail_idx = head_idx + n_new
+    t_new = head_idx + n_new + int(tail_mask.sum())
+
+    # splice frame-level alignment [head | predicted edit | shifted tail]
+    edited_mel2ph_full = np.zeros(t_new, np.int64)
+    edited_mel2ph_full[:head_idx] = mel2ph[:head_idx]
+    edited_mel2ph_full[head_idx:tail_idx] = edited_mel2ph_pred[in_changed]
+    if tail_mask.any():
+        # Map original tail phones 1:1 onto the edited sequence's tail
+        # block: the words after the edit are identical in both texts, so
+        # the phone ids differ by a constant offset. The reference's
+        # `max(changed_pred)+2` heuristic (:107) assumes the predictor
+        # emitted frames for the LAST changed phone and exactly one
+        # separator phone follows — when it doesn't, ids overrun S_edit
+        # and the expand gather goes out of bounds (NaN fill).
+        ph2word = item["ph2word"]
+        s_edit = len(edited_ph2word)
+        n_tail_ph_orig = int(np.sum(ph2word > w1))
+        n_tail_ph_edit = int(np.sum(edited_ph2word > c1))
+        if n_tail_ph_orig != n_tail_ph_edit:
+            # context-dependent g2p (POS homographs) re-phonemized the
+            # unchanged tail differently — the constant offset no longer
+            # holds; stretch by dense rank so ids stay in the tail block
+            print(f"| WARN: tail g2p mismatch for "
+                  f"{item.get('item_name')}: {n_tail_ph_orig} vs "
+                  f"{n_tail_ph_edit} phones; using rank remap")
+            tail_vals = mel2ph[tail_mask]
+            _, dense = np.unique(tail_vals, return_inverse=True)
+            edited_mel2ph_full[tail_idx:] = np.minimum(
+                s_edit - n_tail_ph_edit + 1 + dense, s_edit)
+        else:
+            first_tail_orig = int(np.sum(ph2word <= w1)) + 1
+            first_tail_edit = int(np.sum(edited_ph2word <= c1)) + 1
+            edited_mel2ph_full[tail_idx:] = (
+                mel2ph[tail_mask] + (first_tail_edit - first_tail_orig))
+
+    # splice ref mel / f0 / uv; masked span stays zero
+    ref_mels = np.zeros((t_new, mel.shape[1]), np.float32)
+    ref_mels[:head_idx] = mel[:head_idx]
+    edited_f0 = np.zeros(t_new, np.float32)
+    edited_uv = np.zeros(t_new, np.float32)
+    edited_f0[:head_idx] = f0[:head_idx]
+    edited_uv[:head_idx] = uv[:head_idx]
+    if tail_mask.any():
+        ref_mels[tail_idx:] = mel[tail_mask]
+        edited_f0[tail_idx:] = f0[tail_mask]
+        edited_uv[tail_idx:] = uv[tail_mask]
+
+    time_mel_masks = np.zeros((t_new, 1), np.float32)
+    time_mel_masks[head_idx:tail_idx] = 1.0
+
+    # the model clips mel2ph to frames_multiple (fs.forward_dur) — keep
+    # every spliced array on the same floored grid or shapes diverge
+    fm = int(frames_multiple)
+    if fm > 1 and t_new // fm * fm > 0:
+        t_new = t_new // fm * fm
+        edited_mel2ph_full = edited_mel2ph_full[:t_new]
+        ref_mels = ref_mels[:t_new]
+        edited_f0 = edited_f0[:t_new]
+        edited_uv = edited_uv[:t_new]
+        time_mel_masks = time_mel_masks[:t_new]
+
+    return {"mel2ph": edited_mel2ph_full, "ref_mels": ref_mels,
+            "f0": edited_f0, "uv": edited_uv,
+            "time_mel_masks": time_mel_masks, "t_new": t_new}
+
+
 class SpecDenoiserInfer(BaseInfer):
     def build_model(self):
         import jax
@@ -125,29 +268,7 @@ class SpecDenoiserInfer(BaseInfer):
         """
         import jax.numpy as jnp
 
-        mel2ph = item["mel2ph"]
-        mel2word = item["mel2word"]
-        dur = item["dur"]
-        ph2word = item["ph2word"]
-        edited_ph2word = item["edited_ph2word"]
-        w0, w1 = item["words_region"][0]
-
-        # durations of untouched words anchor the predictor (ref :88-91);
-        # anchor the tail block by the EDITED sequence's tail size — if
-        # context-dependent g2p re-phonemized the tail differently, clamp to
-        # the overlap instead of writing through the changed region
-        s_edit = len(edited_ph2word)
-        c1 = item["edited_words_region"][0][1]
-        masked_dur = np.zeros(s_edit, np.int64)
-        n_head_ph = int(np.sum(ph2word < w0))
-        masked_dur[:n_head_ph] = dur[:n_head_ph]
-        n_tail_ph = min(int(np.sum(ph2word > w1)),
-                        int(np.sum(edited_ph2word > c1)))
-        if n_tail_ph > 0:
-            masked_dur[-n_tail_ph:] = dur[-n_tail_ph:]
-
-        edit_frames = (mel2word >= w0) & (mel2word <= w1)
-        masked_mel2ph = np.where(edit_frames, 0, mel2ph)
+        masked_dur, masked_mel2ph, edit_frames = dur_inpaint_prep(item)
         time_mel_masks_orig = edit_frames.astype(np.float32)
 
         dur_out = self._predict_dur(
@@ -156,14 +277,8 @@ class SpecDenoiserInfer(BaseInfer):
             jnp.asarray(masked_mel2ph)[None], jnp.asarray(masked_dur)[None],
             jnp.asarray(spk_embed))
         dur_pred = np.asarray(dur_out["dur"], np.float32)[0]  # [S_edit]
-        dur_int = np.round(dur_pred).astype(np.int64)
-        dur_int = dur_int * (item["edited_ph_token"] > 0)
-        cum = np.cumsum(dur_int)
-        fm = int(self.hp.get("frames_multiple", 1))
-        t_pred = int(cum[-1]) // fm * fm  # clip_mel2token_to_multiple parity
-        edited_mel2ph_pred = (np.searchsorted(
-            cum, np.arange(t_pred), side="right") + 1).astype(np.int64)
-        edited_mel2word = edited_ph2word[edited_mel2ph_pred - 1]
+        edited_mel2ph_pred, edited_mel2word = dur_to_mel2ph(
+            item, dur_pred, int(self.hp.get("frames_multiple", 1)))
         return edited_mel2ph_pred, edited_mel2word, edit_frames
 
     def forward_model(self, item: dict):
@@ -172,93 +287,23 @@ class SpecDenoiserInfer(BaseInfer):
 
         hp = self.hp
         mel = item["mel"]
-        mel2ph = item["mel2ph"]
-        mel2word = item["mel2word"]
-        edited_ph2word = item["edited_ph2word"]
-        f0, uv = item["f0"], item["uv"]
-        t_orig = mel.shape[0]
-
-        w0, w1 = item["words_region"][0]
-        c0, c1 = item["edited_words_region"][0]
 
         spk_embed = self.spk_embedder(item["wav"])[None]
         edited_mel2ph_pred, edited_mel2word, edit_frames = \
             self.inpaint_durations(item, spk_embed)
         time_mel_masks_orig = edit_frames.astype(np.float32)
 
-        in_changed = (edited_mel2word >= c0) & (edited_mel2word <= c1)
-        n_new = int(in_changed.sum())
-        head_idx = int(np.sum((mel2word >= 1) & (mel2word < w0)))
-        tail_mask = mel2word > w1
-        tail_idx = head_idx + n_new
-        t_new = head_idx + n_new + int(tail_mask.sum())
-
-        # splice frame-level alignment [head | predicted edit | shifted tail]
-        edited_mel2ph_full = np.zeros(t_new, np.int64)
-        edited_mel2ph_full[:head_idx] = mel2ph[:head_idx]
-        edited_mel2ph_full[head_idx:tail_idx] = edited_mel2ph_pred[in_changed]
-        if tail_mask.any():
-            # Map original tail phones 1:1 onto the edited sequence's tail
-            # block: the words after the edit are identical in both texts, so
-            # the phone ids differ by a constant offset. The reference's
-            # `max(changed_pred)+2` heuristic (:107) assumes the predictor
-            # emitted frames for the LAST changed phone and exactly one
-            # separator phone follows — when it doesn't, ids overrun S_edit
-            # and the expand gather goes out of bounds (NaN fill).
-            ph2word = item["ph2word"]
-            s_edit = len(edited_ph2word)
-            n_tail_ph_orig = int(np.sum(ph2word > w1))
-            n_tail_ph_edit = int(np.sum(edited_ph2word > c1))
-            if n_tail_ph_orig != n_tail_ph_edit:
-                # context-dependent g2p (POS homographs) re-phonemized the
-                # unchanged tail differently — the constant offset no longer
-                # holds; stretch by dense rank so ids stay in the tail block
-                print(f"| WARN: tail g2p mismatch for "
-                      f"{item.get('item_name')}: {n_tail_ph_orig} vs "
-                      f"{n_tail_ph_edit} phones; using rank remap")
-                tail_vals = mel2ph[tail_mask]
-                _, dense = np.unique(tail_vals, return_inverse=True)
-                edited_mel2ph_full[tail_idx:] = np.minimum(
-                    s_edit - n_tail_ph_edit + 1 + dense, s_edit)
-            else:
-                first_tail_orig = int(np.sum(ph2word <= w1)) + 1
-                first_tail_edit = int(np.sum(edited_ph2word <= c1)) + 1
-                edited_mel2ph_full[tail_idx:] = (
-                    mel2ph[tail_mask] + (first_tail_edit - first_tail_orig))
-
-        # splice ref mel / f0 / uv; masked span stays zero
-        ref_mels = np.zeros((t_new, mel.shape[1]), np.float32)
-        ref_mels[:head_idx] = mel[:head_idx]
-        edited_f0 = np.zeros(t_new, np.float32)
-        edited_uv = np.zeros(t_new, np.float32)
-        edited_f0[:head_idx] = f0[:head_idx]
-        edited_uv[:head_idx] = uv[:head_idx]
-        if tail_mask.any():
-            ref_mels[tail_idx:] = mel[tail_mask]
-            edited_f0[tail_idx:] = f0[tail_mask]
-            edited_uv[tail_idx:] = uv[tail_mask]
-
-        time_mel_masks = np.zeros((t_new, 1), np.float32)
-        time_mel_masks[head_idx:tail_idx] = 1.0
-
-        # the model clips mel2ph to frames_multiple (fs.forward_dur) — keep
-        # every spliced array on the same floored grid or shapes diverge
-        fm = int(hp.get("frames_multiple", 1))
-        if fm > 1 and t_new // fm * fm > 0:
-            t_new = t_new // fm * fm
-            edited_mel2ph_full = edited_mel2ph_full[:t_new]
-            ref_mels = ref_mels[:t_new]
-            edited_f0 = edited_f0[:t_new]
-            edited_uv = edited_uv[:t_new]
-            time_mel_masks = time_mel_masks[:t_new]
+        sp = splice_edit(item, edited_mel2ph_pred, edited_mel2word,
+                         edit_frames, int(hp.get("frames_multiple", 1)))
+        ref_mels, time_mel_masks = sp["ref_mels"], sp["time_mel_masks"]
 
         # device program 2: reverse diffusion over the masked span
         out = self._infer(
             self.variables, jnp.asarray(item["edited_ph_token"])[None],
             jnp.asarray(time_mel_masks)[None],
-            jnp.asarray(edited_mel2ph_full)[None], jnp.asarray(spk_embed),
-            jnp.asarray(ref_mels)[None], jnp.asarray(edited_f0)[None],
-            jnp.asarray(edited_uv)[None], jax.random.PRNGKey(
+            jnp.asarray(sp["mel2ph"])[None], jnp.asarray(spk_embed),
+            jnp.asarray(ref_mels)[None], jnp.asarray(sp["f0"])[None],
+            jnp.asarray(sp["uv"])[None], jax.random.PRNGKey(
                 int(hp.get("seed", 1234))))
         mel_out = np.asarray(out["mel_out"])[0]
         mel_out = mel_out * time_mel_masks + ref_mels * (1 - time_mel_masks)

@@ -32,6 +32,11 @@ class BaseVocoder:
     def spec2wav(self, mel: np.ndarray, **kw) -> np.ndarray:
         raise NotImplementedError
 
+    def spec2wav_batch(self, mels: np.ndarray, **kw) -> np.ndarray:
+        """Batched mel [B,T,80] -> wav [B,N]. Default: per-item loop (host
+        vocoders); device vocoders override with one batched XLA program."""
+        return np.stack([self.spec2wav(m, **kw) for m in np.asarray(mels)])
+
 
 @register_vocoder("GriffinLim")
 class GriffinLim(BaseVocoder):
@@ -88,7 +93,12 @@ class HifiGAN(BaseVocoder):
             def run(mel):
                 return np.asarray(apply_jit(params, jnp.asarray(mel[None], jnp.float32)))[0]
 
+            def run_batch(mels):  # [B,T,80] in ONE device program
+                return np.asarray(
+                    apply_jit(params, jnp.asarray(mels, jnp.float32)))
+
             self._apply = run
+            self._apply_batch = run_batch
         else:
             self._fallback = GriffinLim(hp)
 
@@ -96,3 +106,8 @@ class HifiGAN(BaseVocoder):
         if self._apply is not None:
             return self._apply(np.asarray(mel, np.float32))
         return self._fallback.spec2wav(mel, **kw)
+
+    def spec2wav_batch(self, mels: np.ndarray, **kw) -> np.ndarray:
+        if self._apply is not None:
+            return self._apply_batch(np.asarray(mels, np.float32))
+        return self._fallback.spec2wav_batch(mels, **kw)

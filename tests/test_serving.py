@@ -1,0 +1,207 @@
+"""Batched region-edit serving engine (infer/serving.py).
+
+Properties under test:
+* bucketing math (static shapes, frames_multiple alignment);
+* end-to-end bit-equivalence with the per-item device programs when the
+  bucket exactly fits the request (padding/bucketing adds nothing);
+* row independence: a request's result is invariant to what else shares
+  its batch (the determinism contract documented in the module);
+* padded frames are inert (unmasked region == spliced reference mel).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from speech_editing_tpu.utils.text.processors import (get_txt_processor_cls,
+                                                      txt_to_ph)
+from tests.helpers import TINY_HP
+
+
+def test_bucket_selection():
+    from speech_editing_tpu.infer.serving import _bucket
+
+    assert _bucket(100, (128, 256, 512)) == 128
+    assert _bucket(128, (128, 256, 512)) == 128
+    assert _bucket(129, (128, 256, 512)) == 256
+    # oversized requests round up by the last stride, staying static
+    assert _bucket(600, (128, 256, 512)) == 768
+    # frames_multiple alignment rounds buckets up
+    assert _bucket(100, (100, 200), 16) == 112
+    assert _bucket(1, (128,)) == 128
+
+
+@pytest.fixture(scope="module")
+def serve_env(tmp_path_factory):
+    """Tiny trained-from-init checkpoint + phone_set covering the g2p output
+    (same construction as tests/test_region_edit.py::edit_env)."""
+    import jax
+
+    from speech_editing_tpu.training.checkpoint import save_checkpoint
+    from speech_editing_tpu.training.optim import build_optimizer
+    from speech_editing_tpu.training.tasks.spec_denoiser import SpecDenoiserTask
+    from speech_editing_tpu.training.train_state import TrainState
+
+    tmp = tmp_path_factory.mktemp("serve")
+    data_dir = str(tmp / "binary")
+    work_dir = str(tmp / "work")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(work_dir, exist_ok=True)
+
+    tp = get_txt_processor_cls("en")
+    texts = ["this is a test sentence", "this is a wonderful test sentence",
+             "this is a different test sentence",
+             "this is a very long wonderful test sentence indeed"]
+    phones = set()
+    for t in texts:
+        ph, *_ = txt_to_ph(tp, t)
+        phones.update(ph.split(" "))
+    json.dump(sorted(phones), open(f"{data_dir}/phone_set.json", "w"))
+
+    hp = dict(TINY_HP)
+    hp.update(binary_data_dir=data_dir, work_dir=work_dir, infer=True,
+              use_spk_embed=True, f0_min=80, f0_max=600, language="en",
+              vocoder="GriffinLim", seed=1234)
+    task = SpecDenoiserTask(hp)
+    model = task.build_model()
+    rng = np.random.RandomState(0)
+    t_frames, s_tok = 64, 10
+    batch = {
+        "txt_tokens": rng.randint(3, task.vocab_size, (1, s_tok)),
+        "time_mel_masks": np.zeros((1, t_frames), np.float32),
+        "mel2ph": np.clip(np.sort(rng.randint(1, s_tok, (1, t_frames))), 1, s_tok),
+        "mels": rng.randn(1, t_frames, 80).astype(np.float32),
+        "f0": rng.rand(1, t_frames).astype(np.float32),
+        "uv": np.zeros((1, t_frames), np.float32),
+        "spk_embed": np.zeros((1, 256), np.float32),
+    }
+    variables = task.init_model(model, batch, jax.random.PRNGKey(0))
+    tx = build_optimizer(hp)
+    state = TrainState.create(variables["params"], tx)
+    save_checkpoint(work_dir, state, steps=1)
+    return hp
+
+
+def _make_request(name, text, edited_text, region, edited_region, seed=0,
+                  n_sec=1.0):
+    sr, hop = 22050, 256
+    t_ax = np.arange(int(sr * n_sec)) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 150 * t_ax)).astype(np.float32)
+    n_frames = len(wav) // hop
+    mel = (np.random.RandomState(seed).randn(n_frames, 80) * 0.3 - 2
+           ).astype(np.float32)
+    tp = get_txt_processor_cls("en")
+    ph, *_ = txt_to_ph(tp, text)
+    s = len(ph.split(" "))
+    mel2ph = np.minimum(np.arange(n_frames) * s // n_frames + 1, s)
+    return {"item_name": name, "text": text, "edited_text": edited_text,
+            "region": region, "edited_region": edited_region,
+            "mel": mel, "wav": wav, "mel2ph": mel2ph}
+
+
+REQ_A = dict(name="a", text="this is a test sentence",
+             edited_text="this is a wonderful test sentence",
+             region="[3,4]", edited_region="[3,5]")
+REQ_B = dict(name="b", text="this is a test sentence",
+             edited_text="this is a different test sentence",
+             region="[3,4]", edited_region="[3,5]", seed=1)
+REQ_C = dict(name="c", text="this is a test sentence",
+             edited_text="this is a wonderful test sentence",
+             region="[2,3]", edited_region="[2,4]", seed=2)
+
+
+def test_serving_end_to_end_and_row_invariance(serve_env):
+    from speech_editing_tpu.infer.serving import BatchedEditServer
+    from speech_editing_tpu.infer.spec_denoiser import SpecDenoiserInfer
+
+    infer_ins = SpecDenoiserInfer(serve_env)
+    server = BatchedEditServer(infer_ins, max_batch=4,
+                               frame_buckets=(64, 128),
+                               token_buckets=(32, 64))
+
+    reqs = [_make_request(**REQ_A), _make_request(**REQ_B),
+            _make_request(**REQ_C)]
+    res = server.edit_many(reqs, seed=7)
+    assert len(res) == 3
+    for r in res:
+        assert np.isfinite(r["mel_out"]).all()
+        assert r["mel_out"].shape == (r["t_frames"], 80)
+        assert len(r["wav_out"]) == r["t_frames"] * serve_env["hop_size"]
+        # padded frames / co-batched rows never leak into the unmasked
+        # region: it is exactly the spliced reference mel
+        tm = r["time_mel_masks"]
+        np.testing.assert_allclose(r["mel_out"] * (1 - tm),
+                                   r["ref_mels"] * (1 - tm), atol=1e-5)
+
+    # row independence: request A's result must be identical whatever else
+    # shares the batch (same bucket, same chunk key, same row index) —
+    # single-bucket server so every request provably lands in one chunk
+    server_inv = BatchedEditServer(infer_ins, max_batch=4,
+                                   frame_buckets=(128,), token_buckets=(64,))
+    res_abc = server_inv.edit_many(reqs, seed=7)
+    res_ac = server_inv.edit_many(
+        [_make_request(**REQ_A), _make_request(**REQ_C)], seed=7)
+    np.testing.assert_array_equal(res_abc[0]["mel_out"], res_ac[0]["mel_out"])
+
+
+def test_serving_exact_fit_matches_per_item_program(serve_env):
+    """With a bucket that exactly fits the request and max_batch=1, the
+    serving path feeds the device programs bit-identical inputs to the
+    per-item driver — outputs must match bit-for-bit (same rng key)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_editing_tpu.infer.serving import BatchedEditServer
+    from speech_editing_tpu.infer.spec_denoiser import (SpecDenoiserInfer,
+                                                        splice_edit)
+
+    infer_ins = SpecDenoiserInfer(serve_env)
+    inp = _make_request(**REQ_A)
+    item = infer_ins.preprocess_input(inp)
+    spk = infer_ins.spk_embedder(item["wav"])[None]
+    m2p_pred, m2w_pred, edit_frames = infer_ins.inpaint_durations(item, spk)
+    sp = splice_edit(item, m2p_pred, m2w_pred, edit_frames,
+                     int(serve_env.get("frames_multiple", 1)))
+
+    server = BatchedEditServer(
+        infer_ins, max_batch=1,
+        frame_buckets=(len(item["mel2ph"]), sp["t_new"]),
+        token_buckets=(len(item["edited_ph_token"]),))
+    res = server.edit_many([inp], seed=7)[0]
+    assert res["t_frames"] == sp["t_new"]
+
+    expected = infer_ins._infer(
+        infer_ins.variables, jnp.asarray(item["edited_ph_token"])[None],
+        jnp.asarray(sp["time_mel_masks"])[None],
+        jnp.asarray(sp["mel2ph"])[None], jnp.asarray(spk),
+        jnp.asarray(sp["ref_mels"])[None], jnp.asarray(sp["f0"])[None],
+        jnp.asarray(sp["uv"])[None],
+        jax.random.fold_in(jax.random.PRNGKey(7), 0))
+    exp_mel = np.asarray(expected["mel_out"], np.float32)[0]
+    tm = sp["time_mel_masks"]
+    exp_comp = exp_mel * tm + sp["ref_mels"] * (1 - tm)
+    np.testing.assert_array_equal(res["mel_out"], exp_comp)
+
+
+def test_serving_mixed_lengths_bucketing(serve_env):
+    """Requests of different audio lengths land in different frame buckets
+    and still come back in request order with correct lengths."""
+    from speech_editing_tpu.infer.serving import BatchedEditServer
+    from speech_editing_tpu.infer.spec_denoiser import SpecDenoiserInfer
+
+    infer_ins = SpecDenoiserInfer(serve_env)
+    server = BatchedEditServer(infer_ins, max_batch=2,
+                               frame_buckets=(64, 96, 160),
+                               token_buckets=(32, 64))
+    reqs = [_make_request(**REQ_A),
+            _make_request(**dict(REQ_B, name="b_long"), n_sec=1.5),
+            _make_request(**dict(REQ_A, name="a2", seed=3))]
+    res = server.edit_many(reqs, seed=3)
+    assert [r is not None for r in res] == [True] * 3
+    # the longer request produced more frames
+    assert res[1]["t_frames"] > res[0]["t_frames"]
+    for r in res:
+        assert np.isfinite(r["mel_out"]).all()
+        assert len(r["wav_out"]) == r["t_frames"] * serve_env["hop_size"]
