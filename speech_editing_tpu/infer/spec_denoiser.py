@@ -317,11 +317,16 @@ class SpecDenoiserInfer(BaseInfer):
     @classmethod
     def example_run(cls, dataset_info: List[dict], hp: Any,
                     out_dir: str = "inference/out"):
+        """CSV driver. With ``hp['serve_batched']`` the device work runs
+        through the batched serving engine (infer/serving.py) — same
+        results contract, N requests per XLA program instead of one."""
         from speech_editing_tpu.utils.audio.dsp import wav2spec
         from speech_editing_tpu.utils.audio.io import save_wav
 
         infer_ins = cls(hp)
         os.makedirs(out_dir, exist_ok=True)
+
+        inputs = []
         for data_info in dataset_info:
             res = wav2spec(data_info["wav_fn_orig"],
                            sample_rate=hp["audio_sample_rate"],
@@ -331,10 +336,27 @@ class SpecDenoiserInfer(BaseInfer):
                            fmin=hp["fmin"], fmax=hp["fmax"])
             inp = dict(data_info)
             inp.update(mel=res["mel"], wav=res["wav"])
-            wav_out, wav_gt, *_ = infer_ins.infer_once(inp)
-            name = inp["item_name"]
-            save_wav(wav_out, f"{out_dir}/{name}.wav", hp["audio_sample_rate"])
-            save_wav(wav_gt, f"{out_dir}/{name}_ref.wav", hp["audio_sample_rate"])
+            inputs.append(inp)
+
+        if hp.get("serve_batched"):
+            from speech_editing_tpu.infer.serving import BatchedEditServer
+
+            server = BatchedEditServer(
+                infer_ins, max_batch=int(hp.get("serve_max_batch", 8)))
+            for inp, r in zip(inputs, server.edit_many(inputs)):
+                name = inp["item_name"]
+                save_wav(r["wav_out"], f"{out_dir}/{name}.wav",
+                         hp["audio_sample_rate"])
+                save_wav(infer_ins.run_vocoder(inp["mel"]),
+                         f"{out_dir}/{name}_ref.wav", hp["audio_sample_rate"])
+        else:
+            for inp in inputs:
+                wav_out, wav_gt, *_ = infer_ins.infer_once(inp)
+                name = inp["item_name"]
+                save_wav(wav_out, f"{out_dir}/{name}.wav",
+                         hp["audio_sample_rate"])
+                save_wav(wav_gt, f"{out_dir}/{name}_ref.wav",
+                         hp["audio_sample_rate"])
         print(f"| region-edit results -> {out_dir}")
 
 

@@ -185,6 +185,40 @@ def test_serving_exact_fit_matches_per_item_program(serve_env):
     np.testing.assert_array_equal(res["mel_out"], exp_comp)
 
 
+def test_example_run_serve_batched(serve_env, tmp_path):
+    """The CSV driver routes through the batched server when
+    hp['serve_batched'] is set, writing the same wav artifacts."""
+    from speech_editing_tpu.infer.spec_denoiser import SpecDenoiserInfer
+    from speech_editing_tpu.utils.audio.io import save_wav
+
+    hp = dict(serve_env)
+    hp["serve_batched"] = True
+    hp["serve_max_batch"] = 4
+    sr, hop, n_frames = 22050, 256, 40
+    wav = (0.3 * np.sin(2 * np.pi * 150 *
+                        np.arange(n_frames * hop) / sr)).astype(np.float32)
+    wav_fn = str(tmp_path / "src.wav")
+    save_wav(wav, wav_fn, sr)
+
+    tp = get_txt_processor_cls("en")
+    ph, *_ = txt_to_ph(tp, "this is a test sentence")
+    s = len(ph.split(" "))
+    t_max = n_frames + 8
+    mel2ph = np.minimum(np.arange(t_max) * s // t_max + 1, s)
+    rows = [{
+        "item_name": f"csv_item_{i}",
+        "text": "this is a test sentence",
+        "edited_text": "this is a wonderful test sentence",
+        "region": "[3,4]", "edited_region": "[3,5]",
+        "wav_fn_orig": wav_fn, "mel2ph": mel2ph,
+    } for i in range(2)]
+    out_dir = str(tmp_path / "out")
+    SpecDenoiserInfer.example_run(rows, hp, out_dir=out_dir)
+    for i in range(2):
+        assert os.path.exists(f"{out_dir}/csv_item_{i}.wav")
+        assert os.path.exists(f"{out_dir}/csv_item_{i}_ref.wav")
+
+
 def test_serving_mixed_lengths_bucketing(serve_env):
     """Requests of different audio lengths land in different frame buckets
     and still come back in request order with correct lengths."""
