@@ -40,6 +40,13 @@ def _stutter_mask(rs, t_len: int, i: int):
     return m
 
 
+# stuttered frames carry a detectable spectral signature (otherwise the
+# stutter label would be independent of every model input and the
+# predictor task would be unlearnable on held-out items)
+_STUTTER_SIG = np.zeros(80, np.float32)
+_STUTTER_SIG[16:48] = 1.2
+
+
 def write_structured_corpus(data_dir: str, n_items: int = 24, vocab: int = 12,
                             seed: int = 0):
     """Binarized corpus where mel[t] = signature(phoneme at t) + noise."""
@@ -60,7 +67,9 @@ def write_structured_corpus(data_dir: str, n_items: int = 24, vocab: int = 12,
             durs = rs.randint(4, 12, s)
             mel2ph = np.repeat(np.arange(1, s + 1), durs).astype(np.int64)
             t_len = len(mel2ph)
-            mel = base[ph_token[mel2ph - 1]] + 0.05 * rs.randn(t_len, 80)
+            stutter = _stutter_mask(rs, t_len, i)
+            mel = (base[ph_token[mel2ph - 1]] + 0.05 * rs.randn(t_len, 80)
+                   + stutter[:, None] * _STUTTER_SIG)
             f0 = 150.0 + 8.0 * ph_token[mel2ph - 1] + rs.randn(t_len)
             ph2word = (np.arange(s) // 2 + 1).astype(np.int64)
             builder.add_item({
@@ -74,7 +83,7 @@ def write_structured_corpus(data_dir: str, n_items: int = 24, vocab: int = 12,
                 "spk_embed": np.zeros(256, np.float32), "spk_id": 0,
                 "wav_fn": "",
                 # a contiguous stutter span in 1/3 of items (stutter stack)
-                "stutter_mel_mask": _stutter_mask(rs, t_len, i),
+                "stutter_mel_mask": stutter,
             })
             lengths.append(t_len)
         builder.finalize()
