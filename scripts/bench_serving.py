@@ -56,7 +56,9 @@ def main():
     T = args.frames
     dur_s = T * hop / sr
     vocab, s_txt = 80, 48
-    hp = _flagship_hp()
+    # flagship egs/base.yaml serves with use_spk_embed: true — bench the
+    # same program the serving engine runs (conditioner + spk projection)
+    hp = dict(_flagship_hp(), use_spk_embed=True)
     model = build_model(vocab, hp)
     vhp = {"upsample_rates": [8, 8, 2, 2],
            "upsample_kernel_sizes": [16, 16, 4, 4],
@@ -76,24 +78,27 @@ def main():
         ref = jnp.asarray(rs.randn(b, T, 80) * 0.3 - 2, jnp.float32)
         f0 = jnp.asarray(rs.rand(b, T), jnp.float32)
         uv = jnp.zeros((b, T), jnp.float32)
-        return txt, jnp.asarray(mask), mel2ph, ref, f0, uv
+        spk = jnp.asarray(rs.randn(b, 256) * 0.1, jnp.float32)
+        return txt, jnp.asarray(mask), mel2ph, spk, ref, f0, uv
 
-    txt1, mask1, m2p1, ref1, f01, uv1 = batch_inputs(1)
+    txt1, mask1, m2p1, spk1, ref1, f01, uv1 = batch_inputs(1)
     variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
-        txt1, mask1, m2p1, None, ref1, f01, uv1)
+        txt1, mask1, m2p1, spk1, ref1, f01, uv1)
     vparams = jax.jit(voc.init)(jax.random.PRNGKey(2), ref1)
 
     # NOTE: all arrays pass as ARGUMENTS (device-array closures poison the
     # process on this backend — CLAUDE.md).
-    @partial(jax.jit, static_argnums=(9,))
-    def serve_k(params, vps, txt, mask, mel2ph, ref, f0, uv, rng, k):
+    @partial(jax.jit, static_argnums=(10,))
+    def serve_k(params, vps, txt, mask, mel2ph, spk, ref, f0, uv, rng, k):
         def body(acc, key):
             # per-iteration perturbation of the reference mel so XLA cannot
             # hoist any request-independent work out of the scan
             r = ref + jax.random.uniform(key, (), minval=0.0, maxval=1e-6)
-            out = model.apply(params, txt, mask, mel2ph, None, r, f0, uv,
-                              infer=True, rng=key)
+            # same flags as the shipped SpecDenoiserInfer._infer program
+            # (use_pred_pitch runs the pitch predictor every request)
+            out = model.apply(params, txt, mask, mel2ph, spk, r, f0, uv,
+                              infer=True, use_pred_pitch=True, rng=key)
             comp = out["mel_out"] * mask + r * (1 - mask)
             wav = voc.apply(vps, comp)
             return acc + wav.astype(jnp.float32), None

@@ -20,12 +20,15 @@ TPU-first design:
   diffusion + composite, vocoder — the same two acoustic programs as the
   per-item path plus one batched vocode.
 
-Determinism: a request's output depends only on (bucket shape, row index,
-chunk rng key) — rows are computationally independent, so what else shares
-the batch cannot change a row's result (asserted in
-``tests/test_serving.py``). Chunk keys derive from ``seed`` and the chunk
-counter. Batch-padding rows replicate a real request (never all-zero rows)
-and are discarded.
+Determinism: the reverse diffusion is keyed per REQUEST
+(``fold_in(PRNGKey(seed), crc32(request identity))`` — see
+``infer.spec_denoiser.request_prng_key``) and the model draws each row's
+noise from its own key, so a request's mel depends only on (seed, request,
+frame-bucket shape): row index, chunk order, and batch composition
+provably cannot change a result, and at the exact-fit bucket the output is
+bit-identical to the per-item driver (asserted in ``tests/test_serving.py``).
+Batch-padding rows replicate a real request (never all-zero rows) and are
+discarded.
 
 Note on vocoded tails: the batched vocoder sees the mel padded to the
 frame bucket; within the generator's receptive field of the true end the
@@ -42,6 +45,7 @@ import numpy as np
 from speech_editing_tpu.infer.spec_denoiser import (SpecDenoiserInfer,
                                                     dur_inpaint_prep,
                                                     dur_to_mel2ph,
+                                                    request_prng_key,
                                                     splice_edit)
 
 
@@ -142,12 +146,14 @@ class BatchedEditServer:
                 for r, i in enumerate(chunk):
                     dur_pred[i] = d[r, :len(items[i]["edited_ph_token"])]
 
-        # stage C (host): length-regulate + splice
+        # stage C (host): length-regulate + splice; per-request rng keys
         splices = []
+        row_key = []
         for i, it in enumerate(items):
             m2p_pred, m2w_pred = dur_to_mel2ph(it, dur_pred[i], self.fm)
-            splices.append(splice_edit(it, m2p_pred, m2w_pred,
-                                       preps[i][2], self.fm))
+            splices.append(splice_edit(it, m2p_pred, m2w_pred, self.fm))
+            row_key.append(request_prng_key(base_key, it))
+        row_key = jnp.stack(row_key)
 
         # stage D (device, batched): reverse diffusion per (S, T_new) bucket
         groups = {}
@@ -156,7 +162,6 @@ class BatchedEditServer:
                    self._fb(sp["t_new"]))
             groups.setdefault(key, []).append(i)
         results: List[Optional[dict]] = [None] * len(items)
-        run_id = 0
         for (s_b, t_b), idxs in sorted(groups.items()):
             for chunk in self._chunks(idxs):
                 rows = chunk + [chunk[0]] * (self.max_batch - len(chunk))
@@ -174,13 +179,18 @@ class BatchedEditServer:
                     self.infer.variables, jnp.asarray(txt), jnp.asarray(tm),
                     jnp.asarray(m2p), jnp.asarray(spk[rows]),
                     jnp.asarray(ref), jnp.asarray(f0), jnp.asarray(uv),
-                    jax.random.fold_in(base_key, run_id))
-                run_id += 1
+                    row_key[np.asarray(rows)])
                 mel_out = np.asarray(out["mel_out"], np.float32)
                 comp = mel_out * tm + ref * (1 - tm)
 
-                # stage E (device, batched): vocode the whole bucket at once
-                wavs = self.infer.vocoder.spec2wav_batch(comp)
+                # stage E (device, batched): vocode the bucket in ONE device
+                # program; host vocoders (per-item Python loops) skip the
+                # replicated padding rows — no static-shape constraint there
+                if getattr(self.infer.vocoder, "device_batched", False):
+                    wavs = self.infer.vocoder.spec2wav_batch(comp)
+                else:
+                    wavs = self.infer.vocoder.spec2wav_batch(
+                        comp[:len(chunk)])
                 hop = int(self.hp["hop_size"])
                 for r, i in enumerate(chunk):
                     t_new = splices[i]["t_new"]

@@ -40,6 +40,26 @@ from speech_editing_tpu.utils.text.text_encoder import is_sil_phoneme
 
 # -- host-side edit math (shared by the per-item driver and the batched
 # serving engine in infer/serving.py) ----------------------------------------
+def request_prng_key(base_key, item: dict):
+    """Per-request PRNG key: ``fold_in(base, crc32(request identity))``.
+
+    Both the per-item driver and the batched serving engine key the reverse
+    diffusion by the REQUEST (name + phones + edit regions), never by batch
+    row or submission order — so the same request under the same seed
+    produces the same sample regardless of what else is in flight, and
+    exact-fit serving output is bit-identical to the per-item driver's.
+    """
+    import zlib
+
+    import jax
+
+    ident = "|".join([
+        str(item.get("item_name", "")), item.get("ph", ""),
+        str(item.get("words_region", "")),
+        str(item.get("edited_words_region", ""))])
+    return jax.random.fold_in(base_key, np.uint32(zlib.crc32(ident.encode())))
+
+
 def dur_inpaint_prep(item: dict):
     """Inputs for the duration-inpainting device program (reference :88-91).
 
@@ -94,7 +114,7 @@ def dur_to_mel2ph(item: dict, dur_pred: np.ndarray, frames_multiple: int):
 
 
 def splice_edit(item: dict, edited_mel2ph_pred: np.ndarray,
-                edited_mel2word: np.ndarray, edit_frames: np.ndarray,
+                edited_mel2word: np.ndarray,
                 frames_multiple: int) -> dict:
     """Frame-level splice [head | predicted edit | shifted tail]
     (reference :100-131): alignment, ref mel, f0/uv, and the time mask,
@@ -294,17 +314,21 @@ class SpecDenoiserInfer(BaseInfer):
         time_mel_masks_orig = edit_frames.astype(np.float32)
 
         sp = splice_edit(item, edited_mel2ph_pred, edited_mel2word,
-                         edit_frames, int(hp.get("frames_multiple", 1)))
+                         int(hp.get("frames_multiple", 1)))
         ref_mels, time_mel_masks = sp["ref_mels"], sp["time_mel_masks"]
 
-        # device program 2: reverse diffusion over the masked span
+        # device program 2: reverse diffusion over the masked span.
+        # Keyed per REQUEST (stacked [1]-row key → the model's per-row
+        # noise path) so this matches the batched serving engine
+        # bit-for-bit at the exact-fit bucket shape.
+        row_key = request_prng_key(
+            jax.random.PRNGKey(int(hp.get("seed", 1234))), item)
         out = self._infer(
             self.variables, jnp.asarray(item["edited_ph_token"])[None],
             jnp.asarray(time_mel_masks)[None],
             jnp.asarray(sp["mel2ph"])[None], jnp.asarray(spk_embed),
             jnp.asarray(ref_mels)[None], jnp.asarray(sp["f0"])[None],
-            jnp.asarray(sp["uv"])[None], jax.random.PRNGKey(
-                int(hp.get("seed", 1234))))
+            jnp.asarray(sp["uv"])[None], row_key[None])
         mel_out = np.asarray(out["mel_out"])[0]
         mel_out = mel_out * time_mel_masks + ref_mels * (1 - time_mel_masks)
 

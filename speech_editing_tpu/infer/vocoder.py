@@ -29,6 +29,11 @@ def get_vocoder_cls(name: str):
 
 
 class BaseVocoder:
+    #: True when spec2wav_batch is ONE device program needing static shapes
+    #: (the serving engine then feeds full padded buckets; host vocoders
+    #: get only the real rows).
+    device_batched = False
+
     def spec2wav(self, mel: np.ndarray, **kw) -> np.ndarray:
         raise NotImplementedError
 
@@ -99,6 +104,7 @@ class HifiGAN(BaseVocoder):
 
             self._apply = run
             self._apply_batch = run_batch
+            self.device_batched = True
         else:
             self._fallback = GriffinLim(hp)
 

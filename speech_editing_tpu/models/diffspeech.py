@@ -102,13 +102,17 @@ class DiffSpeech(nn.Module):
         else:
             big_t = self.sched.num_timesteps
             key, sub = jax.random.split(rng)
+            # mask x at every step — padded frames must stay zero or their
+            # noise leaks into real frames via DiffNet convs (spec_denoiser)
+            tn32 = tgt_nonpadding.astype(jnp.float32)
             x = jax.random.normal(sub, (b, cond.shape[1], self.out_dims),
-                                  jnp.float32)
+                                  jnp.float32) * tn32
             for i in range(big_t - 1, -1, -1):
                 t = jnp.full((b,), i, jnp.int32)
                 key, sub = jax.random.split(key)
                 eps = self.denoise_fn(x, t, cond)
                 x0 = jnp.clip(self._eps_to_x0(x, eps, t), -1, 1)
-                x = diff_ops.q_posterior_sample(self.sched, x0, x, t, sub)
+                x = diff_ops.q_posterior_sample(
+                    self.sched, x0, x, t, sub) * tn32
             ret["mel_out"] = self.denorm_spec(x) * tgt_nonpadding
         return ret

@@ -131,13 +131,39 @@ class GaussianDiffusion(nn.Module):
             # loop is still one XLA program under jit. (lax.scan over a linen
             # submodule needs lifted transforms; for T<=8 unrolling compiles to
             # the same fused program.)
+            # mask x at every step like the training branch masks x_t:
+            # padded frames (mel2ph==0) must stay zero or their noise leaks
+            # into real frames through DiffNet's conv receptive field
+            # (matters for batched serving / padded test batches)
             big_t = self.sched.num_timesteps
-            key, sub = jax.random.split(rng)
-            x = jax.random.normal(sub, (b, cond.shape[1], self.out_dims), cond.dtype)
-            for i in range(big_t - 1, -1, -1):
-                t = jnp.full((b,), i, jnp.int32)
-                key, sub = jax.random.split(key)
-                x0_pred = self.denoise_fn(x, t, cond)
-                x = diff_ops.q_posterior_sample(self.sched, x0_pred, x, t, sub)
+            if diff_ops.is_per_row_keys(rng):
+                # request-level determinism (batched serving): row j's
+                # noise depends only on (rng[j], step) — invariant to row
+                # index, batch composition, and (via the threefry prefix
+                # property) frame-bucket padding
+                t_mel = cond.shape[1]
+
+                def noise_at(step):
+                    return diff_ops.per_row_noise(
+                        rng, step, (t_mel, self.out_dims), cond.dtype)
+
+                x = noise_at(big_t) * tgt_nonpadding
+                for i in range(big_t - 1, -1, -1):
+                    t = jnp.full((b,), i, jnp.int32)
+                    x0_pred = self.denoise_fn(x, t, cond)
+                    x = diff_ops.q_posterior_sample(
+                        self.sched, x0_pred, x, t,
+                        noise=noise_at(i)) * tgt_nonpadding
+            else:
+                key, sub = jax.random.split(rng)
+                x = jax.random.normal(
+                    sub, (b, cond.shape[1], self.out_dims),
+                    cond.dtype) * tgt_nonpadding
+                for i in range(big_t - 1, -1, -1):
+                    t = jnp.full((b,), i, jnp.int32)
+                    key, sub = jax.random.split(key)
+                    x0_pred = self.denoise_fn(x, t, cond)
+                    x = diff_ops.q_posterior_sample(
+                        self.sched, x0_pred, x, t, sub) * tgt_nonpadding
             ret["mel_out"] = x
         return ret

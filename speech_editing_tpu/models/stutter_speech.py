@@ -153,13 +153,16 @@ class StutterGaussianDiffusion(nn.Module):
         else:
             big_t = self.sched.num_timesteps
             key, sub = jax.random.split(rng)
+            # mask x at every step like the training branch masks x_t —
+            # padded frames must stay zero (see spec_denoiser.py)
             x = jax.random.normal(sub, (b, cond.shape[1], self.out_dims),
-                                  cond.dtype)
+                                  cond.dtype) * tgt_nonpadding
             for i in range(big_t - 1, -1, -1):
                 t = jnp.full((b,), i, jnp.int32)
                 key, sub = jax.random.split(key)
                 x0_pred = self.denoise_fn(x, t, cond)
-                x = diff_ops.q_posterior_sample(self.sched, x0_pred, x, t, sub)
+                x = diff_ops.q_posterior_sample(
+                    self.sched, x0_pred, x, t, sub) * tgt_nonpadding
             ret["mel_out"] = x
         return ret
 

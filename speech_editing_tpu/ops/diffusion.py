@@ -136,14 +136,46 @@ def diffuse(sched: DiffusionSchedule, x_start: jax.Array, t: jax.Array,
     return jnp.where(neg.reshape(-1, *([1] * (x_start.ndim - 1))), x_start, out)
 
 
+def is_per_row_keys(rng) -> bool:
+    """True when ``rng`` is a stacked per-row key array (one key per batch
+    row, request-level determinism for batched serving) rather than a
+    single PRNG key. Handles both typed keys ([B] of key dtype) and legacy
+    uint32 keys ([B, 2])."""
+    if rng is None or not hasattr(rng, "ndim"):
+        return False
+    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        return rng.ndim >= 1
+    return rng.ndim >= 2
+
+
+def per_row_noise(row_keys: jax.Array, step: int, shape: tuple,
+                  dtype=jnp.float32) -> jax.Array:
+    """Noise [B, *shape] where row j's block depends ONLY on (row_keys[j],
+    step) — not on j, the batch size, or the other rows. Because threefry
+    bit-streams are counter-indexed over the flattened shape, a draw at a
+    padded frame length is a prefix-extension of the exact-fit draw, so a
+    request's real-frame noise is also invariant to frame-bucket padding."""
+    return jax.vmap(lambda k: jax.random.normal(
+        jax.random.fold_in(k, step), shape, dtype))(row_keys)
+
+
 def q_posterior_sample(sched: DiffusionSchedule, x0_pred: jax.Array,
-                       x_t: jax.Array, t: jax.Array, key: jax.Array) -> jax.Array:
-    """Sample x_{t-1} ~ q(x_{t-1} | x_t, x0_pred); deterministic at t=0."""
+                       x_t: jax.Array, t: jax.Array, key=None,
+                       noise=None) -> jax.Array:
+    """Sample x_{t-1} ~ q(x_{t-1} | x_t, x0_pred); deterministic at t=0.
+
+    Pass either ``key`` (noise drawn here, one stream for the whole batch)
+    or a precomputed ``noise`` tensor — serving uses the latter with
+    per-request noise so a row's sample is independent of its batch row.
+    """
     d = x_t.dtype
     mean = (_bcast(sched.posterior_mean_coef1, t, x_t.ndim, d) * x0_pred.astype(d)
             + _bcast(sched.posterior_mean_coef2, t, x_t.ndim, d) * x_t)
     log_var = _bcast(sched.posterior_log_variance_clipped, t, x_t.ndim, d)
-    noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+    else:
+        noise = noise.astype(x_t.dtype)
     nonzero = (t > 0).astype(x_t.dtype).reshape(-1, *([1] * (x_t.ndim - 1)))
     return mean + nonzero * jnp.exp(0.5 * log_var) * noise
 

@@ -2,11 +2,16 @@
 
 Properties under test:
 * bucketing math (static shapes, frames_multiple alignment);
-* end-to-end bit-equivalence with the per-item device programs when the
-  bucket exactly fits the request (padding/bucketing adds nothing);
-* row independence: a request's result is invariant to what else shares
-  its batch (the determinism contract documented in the module);
-* padded frames are inert (unmasked region == spliced reference mel).
+* end-to-end bit-equivalence with the per-item driver when the bucket
+  exactly fits the request (padding/bucketing adds nothing);
+* request-level determinism: a request's result is invariant to row
+  placement, chunk order, and what else shares the batch — including the
+  adversarial cases (a co-submitted request landing in an earlier bucket,
+  or preceding it inside the same bucket);
+* frame-bucket padding is inert in the reverse-diffusion program: real
+  frames of a padded-bucket run match the exact-fit run (fails if the
+  sampler stops masking x by tgt_nonpadding — padded-frame noise then
+  bleeds into real frames through DiffNet's conv receptive field).
 """
 
 import json
@@ -112,7 +117,7 @@ REQ_C = dict(name="c", text="this is a test sentence",
              region="[2,3]", edited_region="[2,4]", seed=2)
 
 
-def test_serving_end_to_end_and_row_invariance(serve_env):
+def test_serving_end_to_end_and_request_invariance(serve_env):
     from speech_editing_tpu.infer.serving import BatchedEditServer
     from speech_editing_tpu.infer.spec_denoiser import SpecDenoiserInfer
 
@@ -129,30 +134,31 @@ def test_serving_end_to_end_and_row_invariance(serve_env):
         assert np.isfinite(r["mel_out"]).all()
         assert r["mel_out"].shape == (r["t_frames"], 80)
         assert len(r["wav_out"]) == r["t_frames"] * serve_env["hop_size"]
-        # padded frames / co-batched rows never leak into the unmasked
-        # region: it is exactly the spliced reference mel
-        tm = r["time_mel_masks"]
-        np.testing.assert_allclose(r["mel_out"] * (1 - tm),
-                                   r["ref_mels"] * (1 - tm), atol=1e-5)
 
-    # row independence: request A's result must be identical whatever else
-    # shares the batch (same bucket, same chunk key, same row index) —
-    # single-bucket server so every request provably lands in one chunk
-    server_inv = BatchedEditServer(infer_ins, max_batch=4,
-                                   frame_buckets=(128,), token_buckets=(64,))
-    res_abc = server_inv.edit_many(reqs, seed=7)
-    res_ac = server_inv.edit_many(
-        [_make_request(**REQ_A), _make_request(**REQ_C)], seed=7)
-    np.testing.assert_array_equal(res_abc[0]["mel_out"], res_ac[0]["mel_out"])
+    # request-level determinism: A's mel must be bit-identical whatever
+    # else is submitted alongside it — same bucket AND adversarial cases
+    server_inv = BatchedEditServer(infer_ins, max_batch=2,
+                                   frame_buckets=(64, 128),
+                                   token_buckets=(64,))
+    res_a = server_inv.edit_many([_make_request(**REQ_A)], seed=7)[0]
+    # (1) a same-bucket request PRECEDING A shifts A's row index 0 -> 1
+    res_ba = server_inv.edit_many(
+        [_make_request(**REQ_B), _make_request(**REQ_A)], seed=7)
+    np.testing.assert_array_equal(res_a["mel_out"], res_ba[1]["mel_out"])
+    # (2) a LONGER request lands in a different frame bucket, shifting A's
+    # chunk order; A's result must still be bit-identical
+    res_xa = server_inv.edit_many(
+        [_make_request(**dict(REQ_B, name="x_long"), n_sec=1.5),
+         _make_request(**REQ_A)], seed=7)
+    assert res_xa[0]["t_frames"] != res_a["t_frames"]  # different buckets
+    np.testing.assert_array_equal(res_a["mel_out"], res_xa[1]["mel_out"])
 
 
-def test_serving_exact_fit_matches_per_item_program(serve_env):
+def test_serving_exact_fit_matches_per_item_driver(serve_env):
     """With a bucket that exactly fits the request and max_batch=1, the
     serving path feeds the device programs bit-identical inputs to the
-    per-item driver — outputs must match bit-for-bit (same rng key)."""
-    import jax
-    import jax.numpy as jnp
-
+    per-item driver, and both key the diffusion per REQUEST — composite
+    mels must match bit-for-bit."""
     from speech_editing_tpu.infer.serving import BatchedEditServer
     from speech_editing_tpu.infer.spec_denoiser import (SpecDenoiserInfer,
                                                         splice_edit)
@@ -161,28 +167,62 @@ def test_serving_exact_fit_matches_per_item_program(serve_env):
     inp = _make_request(**REQ_A)
     item = infer_ins.preprocess_input(inp)
     spk = infer_ins.spk_embedder(item["wav"])[None]
-    m2p_pred, m2w_pred, edit_frames = infer_ins.inpaint_durations(item, spk)
-    sp = splice_edit(item, m2p_pred, m2w_pred, edit_frames,
+    m2p_pred, m2w_pred, _ = infer_ins.inpaint_durations(item, spk)
+    sp = splice_edit(item, m2p_pred, m2w_pred,
                      int(serve_env.get("frames_multiple", 1)))
 
     server = BatchedEditServer(
         infer_ins, max_batch=1,
         frame_buckets=(len(item["mel2ph"]), sp["t_new"]),
         token_buckets=(len(item["edited_ph_token"]),))
-    res = server.edit_many([inp], seed=7)[0]
+    # default seed == hp['seed'], same as the per-item driver's
+    res = server.edit_many([inp])[0]
     assert res["t_frames"] == sp["t_new"]
 
-    expected = infer_ins._infer(
-        infer_ins.variables, jnp.asarray(item["edited_ph_token"])[None],
-        jnp.asarray(sp["time_mel_masks"])[None],
-        jnp.asarray(sp["mel2ph"])[None], jnp.asarray(spk),
-        jnp.asarray(sp["ref_mels"])[None], jnp.asarray(sp["f0"])[None],
-        jnp.asarray(sp["uv"])[None],
-        jax.random.fold_in(jax.random.PRNGKey(7), 0))
-    exp_mel = np.asarray(expected["mel_out"], np.float32)[0]
-    tm = sp["time_mel_masks"]
-    exp_comp = exp_mel * tm + sp["ref_mels"] * (1 - tm)
-    np.testing.assert_array_equal(res["mel_out"], exp_comp)
+    _, _, per_item_mel, *_ = infer_ins.forward_model(item)
+    np.testing.assert_array_equal(res["mel_out"], per_item_mel)
+
+
+def test_padded_frame_bucket_is_inert(serve_env):
+    """Real-frame diffusion output at a PADDED frame bucket matches the
+    exact-fit bucket: per-request row keys + the threefry prefix property
+    give identical real-frame noise, and the sampler masks x by
+    tgt_nonpadding every step so padded-frame noise cannot bleed through
+    DiffNet's conv receptive field. Padded frames come back exactly 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_editing_tpu.infer.serving import _pad_to
+    from speech_editing_tpu.infer.spec_denoiser import (SpecDenoiserInfer,
+                                                        request_prng_key,
+                                                        splice_edit)
+
+    infer_ins = SpecDenoiserInfer(serve_env)
+    inp = _make_request(**REQ_A)
+    item = infer_ins.preprocess_input(inp)
+    spk = infer_ins.spk_embedder(item["wav"])[None]
+    m2p_pred, m2w_pred, _ = infer_ins.inpaint_durations(item, spk)
+    sp = splice_edit(item, m2p_pred, m2w_pred, 1)
+    t_new = sp["t_new"]
+    row_key = request_prng_key(jax.random.PRNGKey(11), item)
+
+    def run(t_b):
+        out = infer_ins._infer(
+            infer_ins.variables,
+            jnp.asarray(item["edited_ph_token"])[None],
+            jnp.asarray(_pad_to(sp["time_mel_masks"], t_b))[None],
+            jnp.asarray(_pad_to(sp["mel2ph"], t_b))[None],
+            jnp.asarray(spk),
+            jnp.asarray(_pad_to(sp["ref_mels"], t_b))[None],
+            jnp.asarray(_pad_to(sp["f0"], t_b))[None],
+            jnp.asarray(_pad_to(sp["uv"], t_b))[None],
+            row_key[None])
+        return np.asarray(out["mel_out"], np.float32)[0]
+
+    exact = run(t_new)
+    padded = run(t_new + 24)
+    np.testing.assert_allclose(padded[:t_new], exact, atol=1e-5)
+    np.testing.assert_array_equal(padded[t_new:], 0.0)
 
 
 def test_example_run_serve_batched(serve_env, tmp_path):
