@@ -18,15 +18,38 @@ from speech_editing_tpu.infer.spec_denoiser import SpecDenoiserInfer
 
 
 class _InPlaceEditInfer(SpecDenoiserInfer):
-    """Shared flow: frame mask over the edit region, same-length regen."""
+    """Shared flow: frame mask over the edit region, same-length regen.
+
+    Subclasses implement ``_model_mel_out_batch`` — a BATCHED device
+    forward with the uniform signature (txt, mels, mel2ph, tm, spk, f0,
+    uv), each ``[B, ...]``, returning the predicted mel ``[B, T, 80]`` —
+    used both by the per-item path below (B=1) and by the batched serving
+    engine (``infer.serving.BatchedInPlaceEditServer``)."""
+
+    # token sequence driving the model (in-place models keep the original
+    # frame grid; CampNet conditions on the EDITED phonemes)
+    _token_field = "ph_token"
+
+    @classmethod
+    def make_server(cls, infer_ins, **kw):
+        from speech_editing_tpu.infer.serving import BatchedInPlaceEditServer
+
+        return BatchedInPlaceEditServer(infer_ins, **kw)
 
     def _frame_mask(self, item) -> np.ndarray:
         w0, w1 = item["words_region"][0]
         mel2word = item["mel2word"]
         return ((mel2word >= w0) & (mel2word <= w1)).astype(np.float32)
 
-    def _model_mel_out(self, item, tm, spk_embed):
+    def _model_mel_out_batch(self, txt, mels, mel2ph, tm, spk, f0, uv
+                             ) -> np.ndarray:
         raise NotImplementedError
+
+    def _model_mel_out(self, item, tm, spk_embed):
+        return self._model_mel_out_batch(
+            item[self._token_field][None], item["mel"][None],
+            item["mel2ph"][None], tm[None], spk_embed,
+            item["f0"][None], item["uv"][None])[0]
 
     def forward_model(self, item):
         tm = self._frame_mask(item)[:, None]  # [T, 1]
@@ -40,6 +63,8 @@ class _InPlaceEditInfer(SpecDenoiserInfer):
 
 
 class CampNetInfer(_InPlaceEditInfer):
+    _token_field = "edited_ph_token"
+
     def build_model(self):
         import jax
 
@@ -52,14 +77,12 @@ class CampNetInfer(_InPlaceEditInfer):
             lambda v, txt, mels, tm: model.apply(v, txt, mels, tm, infer=True))
         return model, variables
 
-    def _model_mel_out(self, item, tm, spk_embed):
+    def _model_mel_out_batch(self, txt, mels, mel2ph, tm, spk, f0, uv):
         import jax.numpy as jnp
 
-        out = self._infer(self.variables,
-                          jnp.asarray(item["edited_ph_token"])[None],
-                          jnp.asarray(item["mel"])[None],
-                          jnp.asarray(tm)[None])
-        return np.asarray(out["mel_out_fine"])[0]
+        out = self._infer(self.variables, jnp.asarray(txt),
+                          jnp.asarray(mels), jnp.asarray(tm))
+        return np.asarray(out["mel_out_fine"], np.float32)
 
 
 class A3TInfer(_InPlaceEditInfer):
@@ -76,15 +99,13 @@ class A3TInfer(_InPlaceEditInfer):
                 v, txt, mels, m2p, tm, infer=True))
         return model, variables
 
-    def _model_mel_out(self, item, tm, spk_embed):
+    def _model_mel_out_batch(self, txt, mels, mel2ph, tm, spk, f0, uv):
         import jax.numpy as jnp
 
-        out = self._infer(self.variables,
-                          jnp.asarray(item["ph_token"])[None],
-                          jnp.asarray(item["mel"])[None],
-                          jnp.asarray(item["mel2ph"])[None],
-                          jnp.asarray(tm)[None])
-        return np.asarray(out["mel_out_postnet"])[0]
+        out = self._infer(self.variables, jnp.asarray(txt),
+                          jnp.asarray(mels), jnp.asarray(mel2ph),
+                          jnp.asarray(tm))
+        return np.asarray(out["mel_out_postnet"], np.float32)
 
 
 class EditSpeechInfer(_InPlaceEditInfer):
@@ -101,23 +122,19 @@ class EditSpeechInfer(_InPlaceEditInfer):
                 v, txt, tm, m2p, spk, mels, f0, uv, infer=True))
         return model, variables
 
-    def _model_mel_out(self, item, tm, spk_embed):
+    def _model_mel_out_batch(self, txt, mels, mel2ph, tm, spk, f0, uv):
         import jax.numpy as jnp
 
         from speech_editing_tpu.models.editspeech import bidirectional_fusion
 
-        out = self._infer(self.variables,
-                          jnp.asarray(item["ph_token"])[None],
-                          jnp.asarray(tm)[None],
-                          jnp.asarray(item["mel2ph"])[None],
-                          jnp.asarray(spk_embed),
-                          jnp.asarray(item["mel"])[None],
-                          jnp.asarray(item["f0"])[None],
-                          jnp.asarray(item["uv"])[None])
+        out = self._infer(self.variables, jnp.asarray(txt),
+                          jnp.asarray(tm), jnp.asarray(mel2ph),
+                          jnp.asarray(spk), jnp.asarray(mels),
+                          jnp.asarray(f0), jnp.asarray(uv))
         fused = bidirectional_fusion(
             out["forward_outputs"], out["backward_outputs"],
-            jnp.asarray(item["mel"])[None], jnp.asarray(tm)[None])
-        return np.asarray(fused)[0]
+            jnp.asarray(mels), jnp.asarray(tm))
+        return np.asarray(fused, np.float32)
 
 
 INFER_BY_TASK = {

@@ -1,4 +1,12 @@
-"""Batched region-edit serving engine (production deployment path).
+"""Batched region-edit serving engines (production deployment path).
+
+Two servers, one per inference style: :class:`BatchedEditServer` for the
+diffusion path (FluentSpeech — duration inpainting + reverse diffusion,
+per-request noise) and
+:class:`BatchedInPlaceEditServer` for the deterministic in-place families
+(CampNet / A3T / EditSpeech — one forward on the original frame grid).
+``SpecDenoiserInfer.make_server`` / ``_InPlaceEditInfer.make_server``
+pick the right one for the experiment's task.
 
 Beyond-parity: the reference serves edits strictly one at a time
 (``inference/tts/spec_denoiser.py:247-277`` loops ``infer_once`` over CSV
@@ -200,5 +208,113 @@ class BatchedEditServer:
                         "t_frames": t_new,
                         "time_mel_masks": splices[i]["time_mel_masks"],
                         "ref_mels": splices[i]["ref_mels"],
+                    }
+        return results  # type: ignore[return-value]
+
+
+class BatchedInPlaceEditServer:
+    """Batched serving for the in-place editing families (CampNet / A3T /
+    EditSpeech — ``infer/editors.py``).
+
+    These models keep the original frame grid and regenerate only the
+    masked span with ONE deterministic forward (no duration inpainting, no
+    reverse diffusion, no per-request noise), so the batched pipeline is
+    two device programs per ``(batch, token-bucket, frame-bucket)`` chunk:
+    the model forward (via the family's ``_model_mel_out_batch`` hook) and
+    the vocoder. Bucketing/padding semantics match ``BatchedEditServer``:
+    padding rows replicate a real request and are discarded.
+
+    Determinism contract: every family computes per-row (no cross-row
+    math, no sampling), and chunks are always padded to ``max_batch`` by
+    replicating a real row — so every chunk of a bucket runs the SAME
+    compiled program, and a request's result is bit-exactly invariant to
+    row placement, chunk order, and co-batched requests; it depends only
+    on (request, token bucket, frame bucket, max_batch). At
+    ``max_batch=1`` and the exact-fit bucket the program shape equals the
+    per-item driver's and the output is bit-identical; a different batch
+    or bucket shape recompiles, where XLA may reassociate within-row
+    reductions (~1e-6 float drift — there is no cross-row math to leak).
+    Bucket-padding semantics differ by family:
+
+    * CampNet / A3T mask padded tokens/frames at the attention keys and
+      zero padded outputs, so padding is numerically inert — padded
+      buckets agree with exact-fit up to that float reassociation;
+    * EditSpeech's backward LSTM scans across the padded tail before
+      reaching real frames (exactly the reference's training-time padded
+      batches, ``modules/speech_editing/editspeech/lstm.py`` — the model
+      is trained under this condition), so padded buckets give a valid,
+      still-deterministic splice that can differ from exact-fit beyond
+      float noise (asserted in ``tests/test_serving.py``).
+
+    Reference contrast: ``inference/tts/{campnet,a3t,editspeech}.py`` all
+    loop one item at a time.
+    """
+
+    def __init__(self, infer_ins, max_batch: int = 8,
+                 frame_buckets: Sequence[int] = (128, 256, 512, 1024, 1536),
+                 token_buckets: Sequence[int] = (32, 64, 128, 256)):
+        self.infer = infer_ins
+        self.hp = infer_ins.hp
+        self.max_batch = int(max_batch)
+        self.frame_buckets = tuple(sorted(frame_buckets))
+        self.token_buckets = tuple(sorted(token_buckets))
+
+    def _fb(self, n: int) -> int:
+        return _bucket(n, self.frame_buckets)
+
+    def _tb(self, n: int) -> int:
+        return _bucket(n, self.token_buckets)
+
+    def _chunks(self, idxs: List[int]):
+        for i in range(0, len(idxs), self.max_batch):
+            yield idxs[i: i + self.max_batch]
+
+    def edit_many(self, inputs: List[dict], seed: Optional[int] = None
+                  ) -> List[dict]:
+        # `seed` accepted for API symmetry with BatchedEditServer; the
+        # in-place families are deterministic so it is unused.
+        del seed
+        if not inputs:
+            return []
+        # stage A (host): preprocess + frame masks + speaker embeddings
+        items = [self.infer.preprocess_input(inp) for inp in inputs]
+        spk = np.stack([self.infer.spk_embedder(it["wav"]) for it in items])
+        tms = [self.infer._frame_mask(it)[:, None] for it in items]
+        tok_field = self.infer._token_field
+
+        # stage B (device, batched): model forward + composite + vocode
+        groups: dict = {}
+        for i, it in enumerate(items):
+            key = (self._tb(len(it[tok_field])), self._fb(len(it["mel"])))
+            groups.setdefault(key, []).append(i)
+        results: List[Optional[dict]] = [None] * len(items)
+        hop = int(self.hp["hop_size"])
+        for (s_b, t_b), idxs in sorted(groups.items()):
+            for chunk in self._chunks(idxs):
+                rows = chunk + [chunk[0]] * (self.max_batch - len(chunk))
+                txt = np.stack([_pad_to(items[i][tok_field], s_b)
+                                for i in rows])
+                mels = np.stack([_pad_to(items[i]["mel"], t_b) for i in rows])
+                m2p = np.stack([_pad_to(items[i]["mel2ph"], t_b)
+                                for i in rows])
+                tm = np.stack([_pad_to(tms[i], t_b) for i in rows])
+                f0 = np.stack([_pad_to(items[i]["f0"], t_b) for i in rows])
+                uv = np.stack([_pad_to(items[i]["uv"], t_b) for i in rows])
+                mel_out = self.infer._model_mel_out_batch(
+                    txt, mels, m2p, tm, spk[rows], f0, uv)
+                comp = mel_out * tm + mels * (1 - tm)
+                if getattr(self.infer.vocoder, "device_batched", False):
+                    wavs = self.infer.vocoder.spec2wav_batch(comp)
+                else:
+                    wavs = self.infer.vocoder.spec2wav_batch(
+                        comp[:len(chunk)])
+                for r, i in enumerate(chunk):
+                    t_i = len(items[i]["mel"])
+                    results[i] = {
+                        "mel_out": comp[r, :t_i],
+                        "wav_out": np.asarray(wavs[r][:t_i * hop]),
+                        "t_frames": t_i,
+                        "time_mel_masks": tms[i],
+                        "ref_mels": items[i]["mel"],
                     }
         return results  # type: ignore[return-value]

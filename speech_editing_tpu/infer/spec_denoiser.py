@@ -202,6 +202,15 @@ def splice_edit(item: dict, edited_mel2ph_pred: np.ndarray,
 
 
 class SpecDenoiserInfer(BaseInfer):
+    @classmethod
+    def make_server(cls, infer_ins, **kw):
+        """Batched serving engine for this family (overridden by the
+        in-place editors, which batch a single deterministic forward
+        instead of duration inpainting + reverse diffusion)."""
+        from speech_editing_tpu.infer.serving import BatchedEditServer
+
+        return BatchedEditServer(infer_ins, **kw)
+
     def build_model(self):
         import jax
 
@@ -363,9 +372,7 @@ class SpecDenoiserInfer(BaseInfer):
             inputs.append(inp)
 
         if hp.get("serve_batched"):
-            from speech_editing_tpu.infer.serving import BatchedEditServer
-
-            server = BatchedEditServer(
+            server = cls.make_server(
                 infer_ins, max_batch=int(hp.get("serve_max_batch", 8)))
             for inp, r in zip(inputs, server.edit_many(inputs)):
                 name = inp["item_name"]

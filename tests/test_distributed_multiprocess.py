@@ -42,7 +42,9 @@ def test_two_process_dp_train_step():
         cwd=REPO, env=env) for i in range(2)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        # generous: on the 1-CPU host a concurrent compile-heavy job can
+        # triple the workers' wall time (observed flake at 240s)
+        out, _ = p.communicate(timeout=600)
         outs.append(out)
         assert p.returncode == 0, f"worker failed:\n{out}"
 

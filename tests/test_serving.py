@@ -259,6 +259,166 @@ def test_example_run_serve_batched(serve_env, tmp_path):
         assert os.path.exists(f"{out_dir}/csv_item_{i}_ref.wav")
 
 
+# -- in-place families (CampNet / A3T / EditSpeech) ---------------------------
+
+INPLACE_FAMILIES = [
+    ("speech_editing_tpu.training.tasks.campnet.CampNetTask", "CampNetInfer"),
+    ("speech_editing_tpu.training.tasks.a3t.A3TTask", "A3TInfer"),
+    ("speech_editing_tpu.training.tasks.editspeech.EditSpeechTask",
+     "EditSpeechInfer"),
+]
+
+
+@pytest.fixture(scope="module")
+def inplace_env(tmp_path_factory):
+    """Tiny trained-from-init checkpoints for the in-place editor families
+    (same construction as tests/test_editor_infer.py::infer_env)."""
+    import jax
+
+    from speech_editing_tpu.training.checkpoint import save_checkpoint
+    from speech_editing_tpu.training.optim import build_optimizer
+    from speech_editing_tpu.training.train_state import TrainState
+
+    tmp = tmp_path_factory.mktemp("serve_inplace")
+    data_dir = str(tmp / "binary")
+    os.makedirs(data_dir, exist_ok=True)
+    tp = get_txt_processor_cls("en")
+    phones = set()
+    for t in ["this is a test sentence", "this is a wonderful test sentence"]:
+        ph, *_ = txt_to_ph(tp, t)
+        phones.update(ph.split(" "))
+    json.dump(sorted(phones), open(f"{data_dir}/phone_set.json", "w"))
+
+    envs = {}
+
+    def make_env(task_cls_path, name):
+        if name in envs:
+            return envs[name]
+        import importlib
+
+        mod_name, cls_name = task_cls_path.rsplit(".", 1)
+        task_cls = getattr(importlib.import_module(mod_name), cls_name)
+        work_dir = str(tmp / f"work_{name}")
+        os.makedirs(work_dir, exist_ok=True)
+        hp = dict(TINY_HP)
+        hp.update(binary_data_dir=data_dir, work_dir=work_dir, infer=True,
+                  use_spk_embed=False, f0_min=80, f0_max=600, language="en",
+                  vocoder="GriffinLim", seed=1)
+        task = task_cls(hp)
+        model = task.build_model()
+        rs = np.random.RandomState(0)
+        t, s = 64, 10
+        batch = {
+            "txt_tokens": rs.randint(3, task.vocab_size, (1, s)),
+            "time_mel_masks": np.zeros((1, t), np.float32),
+            "mel2ph": np.clip(np.sort(rs.randint(1, s, (1, t))), 1, s),
+            "mels": rs.randn(1, t, 80).astype(np.float32),
+            "f0": rs.rand(1, t).astype(np.float32),
+            "uv": np.zeros((1, t), np.float32),
+        }
+        variables = task.init_model(model, batch, jax.random.PRNGKey(0))
+        state = TrainState.create(variables["params"], build_optimizer(hp))
+        save_checkpoint(work_dir, state, steps=1)
+        envs[name] = hp
+        return hp
+
+    return make_env
+
+
+@pytest.mark.parametrize("task_path,infer_cls_name", INPLACE_FAMILIES)
+def test_inplace_serving_exact_fit_matches_per_item(inplace_env, task_path,
+                                                    infer_cls_name):
+    """Exact-fit bucket + max_batch=1: the server feeds the SAME compiled
+    program shape as the per-item driver, so the composite mel is
+    bit-identical for every in-place family (deterministic forwards).
+    (A different max_batch recompiles at batch=N, where XLA may reassociate
+    within-row reductions — ~1e-6 float drift, covered by the invariance
+    test below.)"""
+    import speech_editing_tpu.infer.editors as editors
+
+    hp = inplace_env(task_path, infer_cls_name)
+    infer_ins = getattr(editors, infer_cls_name)(hp)
+    inp = _make_request(**REQ_A)
+    item = infer_ins.preprocess_input(inp)
+
+    server = infer_ins.make_server(
+        infer_ins, max_batch=1,
+        frame_buckets=(len(item["mel"]),),
+        token_buckets=(len(item[infer_ins._token_field]),))
+    res = server.edit_many([inp])[0]
+    assert res["t_frames"] == len(item["mel"])
+
+    _, _, per_item_mel, *_ = infer_ins.forward_model(item)
+    np.testing.assert_array_equal(res["mel_out"], per_item_mel)
+    assert len(res["wav_out"]) == res["t_frames"] * hp["hop_size"]
+
+
+def test_inplace_serving_row_and_batch_invariance(inplace_env):
+    """A request's result is invariant to row placement and co-batched
+    requests; attention-key masking makes bucket padding provably inert
+    for CampNet (padded-bucket output == exact-fit output)."""
+    import speech_editing_tpu.infer.editors as editors
+
+    hp = inplace_env(*INPLACE_FAMILIES[0])
+    infer_ins = editors.CampNetInfer(hp)
+    item = infer_ins.preprocess_input(_make_request(**REQ_A))
+    t_fit = len(item["mel"])
+    s_fit = len(item[infer_ins._token_field])
+
+    exact = infer_ins.make_server(
+        infer_ins, max_batch=2, frame_buckets=(t_fit,),
+        token_buckets=(s_fit,)).edit_many([_make_request(**REQ_A)])[0]
+
+    # (1) a same-bucket request PRECEDING A shifts A's row index 0 -> 1
+    res_ba = infer_ins.make_server(
+        infer_ins, max_batch=2, frame_buckets=(t_fit,),
+        token_buckets=(s_fit,)).edit_many(
+            [_make_request(**REQ_B), _make_request(**REQ_A)])
+    np.testing.assert_array_equal(exact["mel_out"], res_ba[1]["mel_out"])
+
+    # (2) padded frame+token bucket: CampNet masks padded tokens/frames at
+    # the attention keys, so padding is numerically inert — equal up to the
+    # float reassociation of the recompiled (bigger) program shape
+    padded = infer_ins.make_server(
+        infer_ins, max_batch=2, frame_buckets=(t_fit + 16,),
+        token_buckets=(s_fit + 8,)).edit_many([_make_request(**REQ_A)])[0]
+    np.testing.assert_allclose(padded["mel_out"], exact["mel_out"],
+                               atol=2e-5)
+
+
+def test_inplace_example_run_serve_batched(inplace_env, tmp_path):
+    """The in-place editors' CSV driver routes through
+    BatchedInPlaceEditServer when hp['serve_batched'] is set."""
+    import speech_editing_tpu.infer.editors as editors
+    from speech_editing_tpu.utils.audio.io import save_wav
+
+    hp = dict(inplace_env(*INPLACE_FAMILIES[0]))
+    hp["serve_batched"] = True
+    hp["serve_max_batch"] = 4
+    sr, hop, n_frames = 22050, 256, 40
+    wav = (0.3 * np.sin(2 * np.pi * 150 *
+                        np.arange(n_frames * hop) / sr)).astype(np.float32)
+    wav_fn = str(tmp_path / "src.wav")
+    save_wav(wav, wav_fn, sr)
+
+    tp = get_txt_processor_cls("en")
+    ph, *_ = txt_to_ph(tp, "this is a test sentence")
+    s = len(ph.split(" "))
+    mel2ph = np.minimum(np.arange(n_frames) * s // n_frames + 1, s)
+    rows = [{
+        "item_name": f"inplace_{i}",
+        "text": "this is a test sentence",
+        "edited_text": "this is a wonderful test sentence",
+        "region": "[3,4]", "edited_region": "[3,5]",
+        "wav_fn_orig": wav_fn, "mel2ph": mel2ph,
+    } for i in range(2)]
+    out_dir = str(tmp_path / "out")
+    editors.CampNetInfer.example_run(rows, hp, out_dir=out_dir)
+    for i in range(2):
+        assert os.path.exists(f"{out_dir}/inplace_{i}.wav")
+        assert os.path.exists(f"{out_dir}/inplace_{i}_ref.wav")
+
+
 def test_serving_mixed_lengths_bucketing(serve_env):
     """Requests of different audio lengths land in different frame buckets
     and still come back in request order with correct lengths."""
