@@ -234,17 +234,29 @@ class BatchedInPlaceEditServer:
     per-item driver's and the output is bit-identical; a different batch
     or bucket shape recompiles, where XLA may reassociate within-row
     reductions (~1e-6 float drift — there is no cross-row math to leak).
-    Bucket-padding semantics differ by family:
+    Bucket-padding semantics differ by family (all asserted with
+    perturbed/nonzero-bias weights in ``tests/test_serving.py``):
 
-    * CampNet / A3T mask padded tokens/frames at the attention keys and
-      zero padded outputs, so padding is numerically inert — padded
-      buckets agree with exact-fit up to that float reassociation;
-    * EditSpeech's backward LSTM scans across the padded tail before
-      reaching real frames (exactly the reference's training-time padded
-      batches, ``modules/speech_editing/editspeech/lstm.py`` — the model
-      is trained under this condition), so padded buckets give a valid,
-      still-deterministic splice that can differ from exact-fit beyond
-      float noise (asserted in ``tests/test_serving.py``).
+    * CampNet masks padded tokens/frames at the attention KEYS (a
+      documented reference-bug fix — the reference's decoder masks values
+      only, ``speech_editing/commons/transformer.py:780-801``) and its
+      conv/norm stacks re-mask per layer, so frame/token-bucket padding is
+      numerically inert: padded buckets agree with exact-fit up to that
+      float reassociation;
+    * EditSpeech right-aligns the backward-LSTM scan to start from the
+      TRUE end of each row (``models/editspeech.py``) and its other paths
+      are causal or pointwise, so bucket padding is inert the same way
+      (``hp['ref_pad_compat']`` restores the reference's full-axis flip
+      for torch-parity checks);
+    * A3T is structurally bucket-dependent: frame-bucket padding sits
+      BETWEEN the mel segment and the concatenated text segment, shifting
+      their relative-position distances, and the conformer conv module is
+      deliberately unmasked (faithful reference behavior,
+      ``modules/conformer.py``) — padded-bucket output is still fully
+      deterministic given (bucket shape, max_batch) and batch-composition
+      invariant, but can differ from the exact-fit bucket beyond float
+      noise. Deploy A3T with a bucket set matched to the traffic (or
+      exact-fit buckets for bit-stability across bucket choices).
 
     Reference contrast: ``inference/tts/{campnet,a3t,editspeech}.py`` all
     loop one item at a time.
@@ -258,9 +270,14 @@ class BatchedInPlaceEditServer:
         self.max_batch = int(max_batch)
         self.frame_buckets = tuple(sorted(frame_buckets))
         self.token_buckets = tuple(sorted(token_buckets))
+        # frame buckets must honor frames_multiple like BatchedEditServer:
+        # the FastSpeech conditioner clips mel2ph at t//fm*fm (models/fs.py),
+        # so a non-multiple bucket would zero conditioning near the edge and
+        # silently diverge from the per-item path
+        self.fm = int(self.hp.get("frames_multiple", 1))
 
     def _fb(self, n: int) -> int:
-        return _bucket(n, self.frame_buckets)
+        return _bucket(n, self.frame_buckets, self.fm)
 
     def _tb(self, n: int) -> int:
         return _bucket(n, self.token_buckets)

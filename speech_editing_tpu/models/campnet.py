@@ -62,10 +62,23 @@ class CampNet(nn.Module):
         # coarse: masked frames replaced by the learned mask embedding
         mel_input_coarse = mels * (1 - time_mel_masks) + self.mask_emb * time_mel_masks
         mel_input_coarse = self.mel_encoder(mel_input_coarse) * mel_nonpadding
+        # Mask padded frames at the self-attention KEYS too. The reference
+        # decoder masks only values
+        # (speech_editing/commons/transformer.py:780-801), so zero-valued
+        # padded keys still soak softmax mass out of real keys — harmless
+        # when train and inference share the same padding, but it breaks the
+        # batched server's bucket-padding-inertness contract (measured up to
+        # 0.98 max-abs on real frames). Documented reference-bug fix;
+        # hp['ref_pad_compat'] restores value-only masking for padded-input
+        # torch-parity checks (exact-fit outputs are identical either way:
+        # the key mask is all-False then).
+        frame_pad = mel_nonpadding[..., 0] == 0
         coarse_h, attn = self.decoder_coarse(
             mel_input_coarse, encoder_out,
             encoder_padding_mask=(txt_tokens == 0),
-            padding_mask=(mel_nonpadding[..., 0] == 0), train=train)
+            self_attn_padding_mask=(None if self.hp.get("ref_pad_compat")
+                                    else frame_pad),
+            padding_mask=frame_pad, train=train)
         mel_out_coarse = self.mel_out_coarse(coarse_h * mel_nonpadding) * mel_nonpadding
 
         # fine: residual refinement over the coarse-composited mel;

@@ -80,9 +80,33 @@ class EditSpeech(nn.Module):
             inputs = input_tensor
 
         fwd = self.forward_decoder(inputs)
-        bwd = self.backward_decoder(jnp.flip(inputs, axis=1))
+        if self.hp.get("ref_pad_compat"):
+            # reference semantics: flip over the FULL padded axis, so the
+            # backward LSTM carries state from the padded tail into real
+            # frames (lstm.py:105-124 under padded training batches)
+            bwd = jnp.flip(self.backward_decoder(jnp.flip(inputs, axis=1)),
+                           axis=1)
+        else:
+            # scan the backward decoder from the TRUE end of each row, not
+            # the bucket end: right-align every row (roll by T - len), flip,
+            # scan, flip back, re-align. At exact fit (len == T) the rolls
+            # are identity, so per-item numerics are unchanged; at padded
+            # frame buckets the backward decoder sees exactly the exact-fit
+            # frame sequence, making bucket padding inert for the batched
+            # server (the padded tail is consumed AFTER all real frames and
+            # only pollutes padded output rows, which callers mask).
+            t_axis = inputs.shape[1]
+            lengths = jnp.sum(pos_tokens, axis=1)  # true frame counts [B]
+            shift = (t_axis - lengths)[:, None]  # right-roll amount
+            pos = jnp.arange(t_axis)[None, :]
+            gather = lambda x, idx: jnp.take_along_axis(
+                x, idx[:, :, None], axis=1)
+            right_aligned = gather(inputs, (pos - shift) % t_axis)
+            bwd = jnp.flip(self.backward_decoder(
+                jnp.flip(right_aligned, axis=1)), axis=1)
+            bwd = gather(bwd, (pos + shift) % t_axis)
         ret["forward_outputs"] = fwd
-        ret["backward_outputs"] = jnp.flip(bwd, axis=1)
+        ret["backward_outputs"] = bwd
         return ret
 
 

@@ -181,7 +181,13 @@ class FastSpeech(StyleEmbedMixin, nn.Module):
                                      pitch_padding=pitch_padding)
             pitch_inp = pitch_inp + self.pitch_embed(f0_to_coarse(masked_gt_f0))
         pitch_inp = predictor_grad_scale(pitch_inp, hp.get("predictor_grad", 1.0))
-        pitch_pred = self.pitch_predictor(pitch_inp, train=train)
+        # per-layer padding re-mask (no-op at exact fit) so frame-bucket
+        # padding can't leak through the predictor convs; ref_pad_compat
+        # reproduces the reference's unmasked predictor for padded-input
+        # torch-parity checks (nar_tts_modules.py:75-100)
+        pp_mask = None if hp.get("ref_pad_compat") else pitch_padding
+        pitch_pred = self.pitch_predictor(pitch_inp, x_padding=pp_mask,
+                                          train=train)
         ret["pitch_pred"] = pitch_pred
         if use_pred_pitch:
             tm = time_mel_masks[..., 0] if time_mel_masks is not None else 1.0

@@ -52,10 +52,10 @@ class GaussianDiffusion(nn.Module):
             schedule_type=hp.get("schedule_type", "vpsde"),
             timesteps=hp["timesteps"], time_scale=hp.get("timescale", 1))
 
-    def denoise(self, x_t, t, cond):
+    def denoise(self, x_t, t, cond, nonpadding=None):
         """Exposed for apply()-closure based external samplers
         (e.g. ops.diffusion.p_sample_loop via lax.scan)."""
-        return self.denoise_fn(x_t, t, cond)
+        return self.denoise_fn(x_t, t, cond, nonpadding)
 
     def predict_durations(self, txt_tokens, time_mel_masks, masked_mel2ph,
                           masked_dur, spk_embed=None):
@@ -110,20 +110,26 @@ class GaussianDiffusion(nn.Module):
         cond = decoder_inp + self.mel_encoder(
             ref_mels * (1 - time_mel_masks)) * tgt_nonpadding
 
+        # frame-padding mask for DiffNet's dilated convs (no-op at exact
+        # fit; makes frame-bucket padding inert for batched serving);
+        # ref_pad_compat keeps the reference's unmasked convs for
+        # padded-input torch-parity checks
+        np_mask = (None if self.hp.get("ref_pad_compat")
+                   else tgt_nonpadding)
         b = txt_tokens.shape[0]
         if self.hp.get("no_diffusion"):
             # one-shot ablation (reference yq_wo_diff.py): the denoiser maps
             # the conditioning straight to mel, no diffusion process
             t0 = jnp.zeros((b,), jnp.int32)
             x0 = jnp.zeros((b, cond.shape[1], self.out_dims), jnp.float32)
-            ret["mel_out"] = self.denoise_fn(x0, t0, cond) * tgt_nonpadding
+            ret["mel_out"] = self.denoise_fn(x0, t0, cond, np_mask) * tgt_nonpadding
             return ret
         if not infer:
             k_t, k_noise = jax.random.split(rng)
             t = jax.random.randint(k_t, (b,), 0, self.sched.num_timesteps + 1)
             noise = jax.random.normal(k_noise, ref_mels.shape, ref_mels.dtype)
             x_t = diff_ops.diffuse(self.sched, ref_mels, t, noise) * tgt_nonpadding
-            x0_pred = self.denoise_fn(x_t, t, cond) * tgt_nonpadding
+            x0_pred = self.denoise_fn(x_t, t, cond, np_mask) * tgt_nonpadding
             ret["mel_out"] = x0_pred
         else:
             # Reverse process, unrolled over the (small, static) T steps so the
@@ -150,7 +156,7 @@ class GaussianDiffusion(nn.Module):
                 x = noise_at(big_t) * tgt_nonpadding
                 for i in range(big_t - 1, -1, -1):
                     t = jnp.full((b,), i, jnp.int32)
-                    x0_pred = self.denoise_fn(x, t, cond)
+                    x0_pred = self.denoise_fn(x, t, cond, np_mask)
                     x = diff_ops.q_posterior_sample(
                         self.sched, x0_pred, x, t,
                         noise=noise_at(i)) * tgt_nonpadding
@@ -162,7 +168,7 @@ class GaussianDiffusion(nn.Module):
                 for i in range(big_t - 1, -1, -1):
                     t = jnp.full((b,), i, jnp.int32)
                     key, sub = jax.random.split(key)
-                    x0_pred = self.denoise_fn(x, t, cond)
+                    x0_pred = self.denoise_fn(x, t, cond, np_mask)
                     x = diff_ops.q_posterior_sample(
                         self.sched, x0_pred, x, t, sub) * tgt_nonpadding
             ret["mel_out"] = x

@@ -79,9 +79,9 @@ class StutterGaussianDiffusion(nn.Module):
             schedule_type=hp.get("schedule_type", "vpsde"),
             timesteps=hp["timesteps"], time_scale=hp.get("timescale", 1))
 
-    def denoise(self, x_t, t, cond):
+    def denoise(self, x_t, t, cond, nonpadding=None):
         """Exposed for apply()-closure based external samplers."""
-        return self.denoise_fn(x_t, t, cond)
+        return self.denoise_fn(x_t, t, cond, nonpadding)
 
     def compute_cond(self, txt_tokens, time_mel_masks, stutter_mel_masks,
                      mel2ph, spk_embed, ref_mels, f0, uv,
@@ -143,26 +143,49 @@ class StutterGaussianDiffusion(nn.Module):
         cond = decoder_inp + self.mel_encoder(
             ref_mels * (1 - time_mel_masks)) * tgt_nonpadding
 
+        # frame-padding mask for DiffNet (no-op at exact fit; makes
+        # frame-bucket padding inert for batched serving — see
+        # spec_denoiser.py); ref_pad_compat keeps reference numerics
+        np_mask = (None if self.hp.get("ref_pad_compat")
+                   else tgt_nonpadding)
         b = txt_tokens.shape[0]
         if not infer:
             k_t, k_noise = jax.random.split(rng)
             t = jax.random.randint(k_t, (b,), 0, self.sched.num_timesteps + 1)
             noise = jax.random.normal(k_noise, ref_mels.shape, ref_mels.dtype)
             x_t = diff_ops.diffuse(self.sched, ref_mels, t, noise) * tgt_nonpadding
-            ret["mel_out"] = self.denoise_fn(x_t, t, cond) * tgt_nonpadding
+            ret["mel_out"] = self.denoise_fn(x_t, t, cond, np_mask) * tgt_nonpadding
         else:
             big_t = self.sched.num_timesteps
-            key, sub = jax.random.split(rng)
             # mask x at every step like the training branch masks x_t —
             # padded frames must stay zero (see spec_denoiser.py)
-            x = jax.random.normal(sub, (b, cond.shape[1], self.out_dims),
-                                  cond.dtype) * tgt_nonpadding
-            for i in range(big_t - 1, -1, -1):
-                t = jnp.full((b,), i, jnp.int32)
-                key, sub = jax.random.split(key)
-                x0_pred = self.denoise_fn(x, t, cond)
-                x = diff_ops.q_posterior_sample(
-                    self.sched, x0_pred, x, t, sub) * tgt_nonpadding
+            if diff_ops.is_per_row_keys(rng):
+                # request-level determinism for batched serving: row j's
+                # noise depends only on (rng[j], step) — invariant to row
+                # index, batch composition and frame-bucket padding
+                t_mel = cond.shape[1]
+
+                def noise_at(step):
+                    return diff_ops.per_row_noise(
+                        rng, step, (t_mel, self.out_dims), cond.dtype)
+
+                x = noise_at(big_t) * tgt_nonpadding
+                for i in range(big_t - 1, -1, -1):
+                    t = jnp.full((b,), i, jnp.int32)
+                    x0_pred = self.denoise_fn(x, t, cond, np_mask)
+                    x = diff_ops.q_posterior_sample(
+                        self.sched, x0_pred, x, t,
+                        noise=noise_at(i)) * tgt_nonpadding
+            else:
+                key, sub = jax.random.split(rng)
+                x = jax.random.normal(sub, (b, cond.shape[1], self.out_dims),
+                                      cond.dtype) * tgt_nonpadding
+                for i in range(big_t - 1, -1, -1):
+                    t = jnp.full((b,), i, jnp.int32)
+                    key, sub = jax.random.split(key)
+                    x0_pred = self.denoise_fn(x, t, cond, np_mask)
+                    x = diff_ops.q_posterior_sample(
+                        self.sched, x0_pred, x, t, sub) * tgt_nonpadding
             ret["mel_out"] = x
         return ret
 

@@ -43,7 +43,13 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, nonpadding: jax.Array, train: bool = False) -> jax.Array:
         for i in range(self.n):
-            h = _make_norm(self.norm_type, f"norm_{i}")(x)
+            # mask the norm output BEFORE the conv: with trained (nonzero-β)
+            # norms, norm(0)=β at padded frames would leak into real frames
+            # through the conv window; masking makes padded buckets see the
+            # same zeros as exact-fit SAME padding. Exact no-op at exact fit
+            # (mask all-ones) and at torch init (norm bias zero), so the
+            # torch-parity tests are unaffected.
+            h = _make_norm(self.norm_type, f"norm_{i}")(x) * nonpadding
             h = nn.Conv(self.c_multiple * self.channels, (self.kernel_size,),
                         kernel_dilation=(self.dilation,), padding="SAME",
                         kernel_init=nn.initializers.xavier_uniform(),

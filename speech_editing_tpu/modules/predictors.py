@@ -48,15 +48,28 @@ class PitchPredictor(nn.Module):
     dropout_rate: float = 0.1
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        """x: [B, T, H] -> [B, T, odim] (f0, uv-logit)."""
+    def __call__(self, x: jax.Array, x_padding: Optional[jax.Array] = None,
+                 train: bool = False) -> jax.Array:
+        """x: [B, T, H] -> [B, T, odim] (f0, uv-logit).
+
+        ``x_padding`` [B, T] bool (True=pad): per-layer re-masking like
+        DurationPredictor, so frame-bucket padding cannot leak into real
+        frames through the conv windows (exact no-op at exact-fit shapes).
+        The reference's predictor runs unmasked (nar_tts_modules.py:75-100);
+        ``hp['ref_pad_compat']`` keeps callers on that behavior for
+        padded-input torch-parity checks."""
         for i in range(self.n_layers):
             x = nn.Conv(self.n_chans, (self.kernel_size,), padding="SAME",
                         name=f"conv_{i}")(x)
             x = jax.nn.relu(x)
             x = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(x)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        return nn.Dense(self.odim, name="linear")(x)
+            if x_padding is not None:
+                x = x * (~x_padding)[:, :, None]
+        x = nn.Dense(self.odim, name="linear")(x)
+        if x_padding is not None:
+            x = x * (~x_padding)[:, :, None]
+        return x
 
 
 class EnergyPredictor(PitchPredictor):

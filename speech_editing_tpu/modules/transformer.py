@@ -193,7 +193,11 @@ class EncSALayer(nn.Module):
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
             x = (res + x) * nonpad
         res = x
-        x = nn.LayerNorm(epsilon=1e-5, name="layer_norm2")(x)
+        # mask the LN output before the k-wide FFN conv: trained LN bias
+        # makes padded rows nonzero (LN(0)=β) and the SAME conv would leak
+        # them into real frames — masking reproduces exact-fit numerics at
+        # padded buckets (no-op at exact fit and at torch init where β=0)
+        x = nn.LayerNorm(epsilon=1e-5, name="layer_norm2")(x) * nonpad
         x = ConvFFN(self.dim, 4 * self.dim, self.kernel_size, "SAME",
                     self.relu_dropout, self.act, name="ffn")(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)

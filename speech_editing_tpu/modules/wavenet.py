@@ -101,8 +101,17 @@ class DiffNetResidualBlock(nn.Module):
     allow_fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, cond: jax.Array, step_emb: jax.Array):
-        """x: [B, T, C]; cond: [B, T, H]; step_emb: [B, C] -> (x', skip)."""
+    def __call__(self, x: jax.Array, cond: jax.Array, step_emb: jax.Array,
+                 nonpadding: Optional[jax.Array] = None):
+        """x: [B, T, C]; cond: [B, T, H]; step_emb: [B, C];
+        nonpadding [B, T, 1] or None -> (x', skip).
+
+        ``nonpadding`` masks the dilated-conv input (x + step): the step
+        embedding is a nonzero per-batch constant, so without masking the
+        conv window at the last real frames would see (0 + step) at padded
+        frames instead of the zeros that exact-fit SAME padding provides —
+        frame-bucket padding would change real-frame outputs. Masking is an
+        exact no-op at exact-fit shapes."""
         c = self.residual_channels
         step2 = nn.Dense(c, name="diffusion_projection")(step_emb)  # [B, C]
         step = step2[:, None, :]
@@ -110,7 +119,8 @@ class DiffNetResidualBlock(nn.Module):
         from speech_editing_tpu.ops.pallas.diffnet_block import (
             fused_diffnet_block, fused_enabled)
 
-        if self.allow_fused and self.dilation == 1 and fused_enabled():
+        if (self.allow_fused and self.dilation == 1 and fused_enabled()
+                and nonpadding is None):
             # fused Pallas block: conv-as-matmul + gating + projections in
             # one kernel per batch element (see ops/pallas/diffnet_block.py)
             hdim = cond.shape[-1]
@@ -123,6 +133,8 @@ class DiffNetResidualBlock(nn.Module):
                 wc.reshape(hdim, 2 * c), bc, wo.reshape(c, 2 * c), bo)
 
         y = x + step
+        if nonpadding is not None:
+            y = y * nonpadding
         y = nn.Conv(2 * c, (3,), kernel_dilation=(self.dilation,), padding="SAME",
                     kernel_init=nn.initializers.kaiming_normal(),
                     name="dilated_conv")(y)
@@ -155,7 +167,10 @@ class DiffNet(nn.Module):
 
     @nn.compact
     def __call__(self, spec: jax.Array, diffusion_step: jax.Array,
-                 cond: jax.Array) -> jax.Array:
+                 cond: jax.Array,
+                 nonpadding: Optional[jax.Array] = None) -> jax.Array:
+        """``nonpadding`` [B, T, 1]: see DiffNetResidualBlock — makes
+        frame-bucket padding inert (no-op at exact fit)."""
         c = self.residual_channels
         x = nn.Conv(c, (1,), kernel_init=nn.initializers.kaiming_normal(),
                     name="input_projection")(spec)
@@ -173,7 +188,7 @@ class DiffNet(nn.Module):
             x, skip = block_cls(
                 c, 2 ** (i % self.dilation_cycle_length),
                 allow_fused=self.allow_fused,
-                name=f"residual_{i}")(x, cond, step)
+                name=f"residual_{i}")(x, cond, step, nonpadding)
             skip_sum = skip_sum + skip
         x = skip_sum / math.sqrt(self.residual_layers)
         x = nn.Conv(c, (1,), kernel_init=nn.initializers.kaiming_normal(),

@@ -168,6 +168,65 @@ def synth_batch(rng, B=2, S=8, T=64, n_mels=80):
     }
 
 
+TINY_VOC_HP = {
+    # tiny HiFi-GAN config shared by the in-process GAN trainer test and
+    # the 2-process distributed GAN test
+    "audio_sample_rate": 22050, "audio_num_mel_bins": 80, "hop_size": 64,
+    "fft_size": 256, "win_size": 256, "fmin": 55, "fmax": 7600,
+    "resblock": "2", "upsample_rates": [4, 4, 4],
+    "upsample_kernel_sizes": [8, 8, 8], "upsample_initial_channel": 16,
+    "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 3]],
+    "lr": 2e-4, "adam_b1": 0.8, "adam_b2": 0.99, "lr_decay": 0.999,
+    "scheduler_step_size": 600, "lambda_mel": 45.0, "lambda_adv": 1.0,
+    "use_fm_loss": True, "use_ms_stft": True, "max_samples": 2048,
+    "seed": 1, "sort_by_len": True, "vocab_size": 10,
+}
+
+
+def write_voc_corpus(data_dir, rng, n_items=6, hop=64):
+    """Tiny mel+wav IndexedDataset corpus for vocoder (GAN) training."""
+    import os
+
+    from speech_editing_tpu.data.indexed_dataset import IndexedDatasetBuilder
+
+    os.makedirs(data_dir, exist_ok=True)
+    for prefix in ("train", "valid", "test"):
+        b = IndexedDatasetBuilder(f"{data_dir}/{prefix}")
+        lens = []
+        for i in range(n_items):
+            t = int(rng.randint(48, 96))
+            mel = (rng.randn(t, 80) * 0.5 - 2).astype(np.float32)
+            wav = (rng.randn(t * hop) * 0.1).astype(np.float32)
+            b.add_item({"item_name": f"v{i}", "mel": mel, "wav": wav,
+                        "pitch": np.zeros(t, np.int64),
+                        "f0": np.zeros(t, np.float32)})
+            lens.append(t)
+        b.finalize()
+        np.save(f"{data_dir}/{prefix}_lengths.npy", np.asarray(lens))
+
+
+def perturb_biases(params, seed=0, scale=0.05):
+    """Add noise to every floating rank<=1 param leaf (conv/dense biases,
+    LayerNorm scale/offset, pos-embed alphas), leaving kernels untouched.
+
+    Random-init flax params have all-zero biases, under which ``norm(0)=0``
+    and padded frames stay exactly zero through conv/norm stacks — padding-
+    inertness tests would pass trivially and could not detect leaks that
+    only manifest with trained (nonzero-bias) weights. Perturbing the
+    1-D leaves reproduces the trained-weight condition."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rs = np.random.RandomState(seed)
+    out = []
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        if arr.ndim <= 1 and np.issubdtype(arr.dtype, np.floating):
+            arr = arr + rs.randn(*arr.shape).astype(arr.dtype) * scale
+        out.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def stub_reference_deps():
     """Insert no-op stand-ins for the reference repo's missing audio deps
     (librosa/pyloudnorm/webrtcvad/skimage) so its torch model modules can be

@@ -40,6 +40,11 @@ BASE_HP = {
     "enc_dilations": [1, 1], "enc_kernel_size": 5, "layers_in_block": 2,
     "enc_dec_norm": "ln", "enc_post_net_kernel": 3,
     "dropout": 0.0,
+    # goldens below are computed on PADDED torch batches; reproduce the
+    # reference's padded-input semantics (value-only attention masking,
+    # full-axis backward LSTM flip, unmasked predictor convs) — default-mode
+    # divergence at padding is asserted by tests/test_serving.py
+    "ref_pad_compat": True,
 }
 
 

@@ -84,7 +84,11 @@ def serve_env(tmp_path_factory):
     }
     variables = task.init_model(model, batch, jax.random.PRNGKey(0))
     tx = build_optimizer(hp)
-    state = TrainState.create(variables["params"], tx)
+    # nonzero biases/LN offsets: at flax init every bias is zero, under
+    # which padded frames stay exactly zero through conv/norm stacks and
+    # the padding-inertness assertions below would pass trivially
+    from tests.helpers import perturb_biases
+    state = TrainState.create(perturb_biases(variables["params"]), tx)
     save_checkpoint(work_dir, state, steps=1)
     return hp
 
@@ -206,10 +210,12 @@ def test_padded_frame_bucket_is_inert(serve_env):
     t_new = sp["t_new"]
     row_key = request_prng_key(jax.random.PRNGKey(11), item)
 
-    def run(t_b):
+    s_fit = len(item["edited_ph_token"])
+
+    def run(t_b, s_b=s_fit):
         out = infer_ins._infer(
             infer_ins.variables,
-            jnp.asarray(item["edited_ph_token"])[None],
+            jnp.asarray(_pad_to(item["edited_ph_token"], s_b))[None],
             jnp.asarray(_pad_to(sp["time_mel_masks"], t_b))[None],
             jnp.asarray(_pad_to(sp["mel2ph"], t_b))[None],
             jnp.asarray(spk),
@@ -223,6 +229,11 @@ def test_padded_frame_bucket_is_inert(serve_env):
     padded = run(t_new + 24)
     np.testing.assert_allclose(padded[:t_new], exact, atol=1e-5)
     np.testing.assert_array_equal(padded[t_new:], 0.0)
+    # TOKEN-bucket padding too: padded txt tokens are masked at the FFT
+    # encoder's attention keys and zeroed per layer, and mel2ph never
+    # gathers them — inert the same way (VERDICT r3 #8)
+    padded_st = run(t_new + 24, s_fit + 8)
+    np.testing.assert_allclose(padded_st[:t_new], exact, atol=1e-5)
 
 
 def test_example_run_serve_batched(serve_env, tmp_path):
@@ -317,7 +328,11 @@ def inplace_env(tmp_path_factory):
             "uv": np.zeros((1, t), np.float32),
         }
         variables = task.init_model(model, batch, jax.random.PRNGKey(0))
-        state = TrainState.create(variables["params"], build_optimizer(hp))
+        # nonzero biases/LN offsets — see serve_env: zero-bias init would
+        # make the padded-bucket inertness assertions trivially true
+        from tests.helpers import perturb_biases
+        state = TrainState.create(perturb_biases(variables["params"]),
+                                  build_optimizer(hp))
         save_checkpoint(work_dir, state, steps=1)
         envs[name] = hp
         return hp
@@ -353,14 +368,29 @@ def test_inplace_serving_exact_fit_matches_per_item(inplace_env, task_path,
     assert len(res["wav_out"]) == res["t_frames"] * hp["hop_size"]
 
 
-def test_inplace_serving_row_and_batch_invariance(inplace_env):
+@pytest.mark.parametrize("task_path,infer_cls_name", INPLACE_FAMILIES)
+def test_inplace_serving_row_and_batch_invariance(inplace_env, task_path,
+                                                  infer_cls_name):
     """A request's result is invariant to row placement and co-batched
-    requests; attention-key masking makes bucket padding provably inert
-    for CampNet (padded-bucket output == exact-fit output)."""
+    requests for EVERY in-place family (checkpoints carry perturbed,
+    nonzero biases — see inplace_env). Bucket-padding semantics split:
+
+    * CampNet masks padded frames/tokens at the attention KEYS (a
+      documented reference-bug fix — the reference masks values only) and
+      EditSpeech right-aligns the backward-LSTM scan to start from the
+      TRUE end of each row, so for both, padded-bucket output == exact-fit
+      output up to the float reassociation of the recompiled shape;
+    * A3T is structurally bucket-dependent: frame-bucket padding sits
+      BETWEEN the mel segment and the concatenated text segment, shifting
+      their relative-position distances, and the conformer conv module is
+      deliberately unmasked (reference behavior) — so we assert the padded
+      bucket is *deterministic* (batch-composition invariant), not equal
+      to exact-fit. The server contract for A3T is per-(bucket, max_batch)
+      determinism; PARITY.md documents this caveat."""
     import speech_editing_tpu.infer.editors as editors
 
-    hp = inplace_env(*INPLACE_FAMILIES[0])
-    infer_ins = editors.CampNetInfer(hp)
+    hp = inplace_env(task_path, infer_cls_name)
+    infer_ins = getattr(editors, infer_cls_name)(hp)
     item = infer_ins.preprocess_input(_make_request(**REQ_A))
     t_fit = len(item["mel"])
     s_fit = len(item[infer_ins._token_field])
@@ -376,14 +406,23 @@ def test_inplace_serving_row_and_batch_invariance(inplace_env):
             [_make_request(**REQ_B), _make_request(**REQ_A)])
     np.testing.assert_array_equal(exact["mel_out"], res_ba[1]["mel_out"])
 
-    # (2) padded frame+token bucket: CampNet masks padded tokens/frames at
-    # the attention keys, so padding is numerically inert — equal up to the
-    # float reassociation of the recompiled (bigger) program shape
+    # (2) padded frame+token bucket
     padded = infer_ins.make_server(
         infer_ins, max_batch=2, frame_buckets=(t_fit + 16,),
         token_buckets=(s_fit + 8,)).edit_many([_make_request(**REQ_A)])[0]
-    np.testing.assert_allclose(padded["mel_out"], exact["mel_out"],
-                               atol=2e-5)
+    assert np.isfinite(padded["mel_out"]).all()
+    if infer_cls_name == "A3TInfer":
+        # bucket-dependent but deterministic: a co-batched request at the
+        # same padded bucket must not change A's result at all
+        padded_ba = infer_ins.make_server(
+            infer_ins, max_batch=2, frame_buckets=(t_fit + 16,),
+            token_buckets=(s_fit + 8,)).edit_many(
+                [_make_request(**REQ_B), _make_request(**REQ_A)])
+        np.testing.assert_array_equal(padded["mel_out"],
+                                      padded_ba[1]["mel_out"])
+    else:
+        np.testing.assert_allclose(padded["mel_out"], exact["mel_out"],
+                                   atol=2e-5)
 
 
 def test_inplace_example_run_serve_batched(inplace_env, tmp_path):
