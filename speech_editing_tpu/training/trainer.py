@@ -464,6 +464,17 @@ class Trainer:
     def test(self):
         import jax
 
+        if self.n_proc > 1:
+            # _build_state would replicate onto the GLOBAL mesh — a
+            # collective that deadlocks when the non-main processes return
+            # early below. Inference is single-process by design (the
+            # reference's test loop is rank-0-only too); fail loudly on
+            # every process instead of hanging the job.
+            raise RuntimeError(
+                "Trainer.test/--infer must run single-process: launch it "
+                "without jax.distributed (checkpoints are portable across "
+                "process counts). A multi-host --infer would deadlock in "
+                "global-mesh state replication.")
         if not self.is_main:
             # test inference is process-local (batch-size-1 style, no mesh
             # collectives): only process 0 generates + writes outputs
@@ -482,14 +493,24 @@ class Trainer:
         infer_fn = self.task.build_infer_fn(self.model)
 
         from speech_editing_tpu.infer.vocoder import get_vocoder_cls
-        from speech_editing_tpu.utils.audio.io import save_wav
+        from speech_editing_tpu.training.result_saver import save_test_result
+        from speech_editing_tpu.utils.multiprocess import ResultSaverPool
 
         vocoder = get_vocoder_cls(hp.get("vocoder", "GriffinLim"))(hp)
         gen_dir = os.path.join(
             self.work_dir,
             f"generated_{self.global_step}_{hp.get('gen_dir_name') or 'test'}")
         os.makedirs(os.path.join(gen_dir, "wavs"), exist_ok=True)
+        os.makedirs(os.path.join(gen_dir, "plot"), exist_ok=True)
         sr = int(hp["audio_sample_rate"])
+        # async result writer: wav encode + matplotlib render overlap the
+        # inference/vocode loop (reference speech_base.py:287 worker pool);
+        # N_PROC<=1 falls back to synchronous writes
+        saver = ResultSaverPool(hp.get("test_save_workers"))
+        hp_plot = {"hop_size": int(hp.get("hop_size", 256)),
+                   "mel_vmin": hp.get("mel_vmin", -6),
+                   "mel_vmax": hp.get("mel_vmax", 1.5)}
+        token_encoder = getattr(self.task, "token_encoder", None)
 
         loader = self._loader("test", shuffle=False,
                               max_sentences_key="max_valid_sentences")
@@ -523,20 +544,34 @@ class Trainer:
                 wav_p = (wavs_out[b][: t_len * int(hp.get("hop_size", 256))]
                          if wavs_out is not None
                          else vocoder.spec2wav(mel_p))
-                wav_g = vocoder.spec2wav(mel_g)
-                save_wav(wav_p, f"{gen_dir}/wavs/[P]{item_name}.wav", sr)
+                str_phs = None
+                if token_encoder is not None and "txt_tokens" in raw:
+                    toks = [int(t) for t in np.asarray(raw["txt_tokens"])[b]
+                            if t > 0]
+                    str_phs = token_encoder.decode(toks)
+                m2p = (np.asarray(raw["mel2ph"])[b, :t_len]
+                       if "mel2ph" in raw else None)
+                # vocode in the loop (device work); file writes + plot
+                # rendering go to the saver pool
+                saver.add_job(save_test_result, (
+                    wav_p, mel_p, f"[P]{item_name}", gen_dir, sr, hp_plot,
+                    str_phs, m2p, True))
                 if hp.get("save_gt", True):
-                    save_wav(wav_g, f"{gen_dir}/wavs/[G]{item_name}.wav", sr)
+                    saver.add_job(save_test_result, (
+                        vocoder.spec2wav(mel_g), mel_g, f"[G]{item_name}",
+                        gen_dir, sr, hp_plot, str_phs, m2p, False))
                 # masked-region-only segments (reference
                 # speech_editing_base.py:171-182) for MCD/PESQ/STOI eval
                 seg = (masks[b, :t_len] == 1) if masks is not None else None
                 if seg is not None and seg.any():
-                    wav_p_seg = vocoder.spec2wav(mel_p[seg])
-                    wav_g_seg = vocoder.spec2wav(mel_g[seg])
-                    save_wav(wav_p_seg, f"{gen_dir}/wavs/[P_SEG]{item_name}.wav", sr)
-                    save_wav(wav_g_seg, f"{gen_dir}/wavs/[G_SEG]{item_name}.wav", sr)
-                np.save(f"{gen_dir}/wavs/[P]{item_name}_mel.npy", mel_p)
+                    saver.add_job(save_test_result, (
+                        vocoder.spec2wav(mel_p[seg]), None,
+                        f"[P_SEG]{item_name}", gen_dir, sr))
+                    saver.add_job(save_test_result, (
+                        vocoder.spec2wav(mel_g[seg]), None,
+                        f"[G_SEG]{item_name}", gen_dir, sr))
                 n_done += 1
+        saver.drain()
         # meta.csv index of generated items (reference speech_base.py:377)
         import csv as _csv
 

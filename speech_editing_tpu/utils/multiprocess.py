@@ -1,10 +1,13 @@
-"""Ordered multiprocess map with progress (offline pipeline helper).
+"""Ordered multiprocess map + fire-and-forget saver pool (host tooling).
 
 Parity surface: ``utils/commons/multiprocess_utils.py`` —
 ``multiprocess_run_tqdm`` (:84): stream (idx, result) pairs in input order
 from a worker pool; ``init_ctx_func`` gives each worker a persistent context
 (e.g. a loaded speaker encoder). Falls back to in-process execution when
 ``num_workers <= 1`` (simpler debugging, no fork overhead for small runs).
+``ResultSaverPool`` mirrors the reference ``MultiprocessManager``
+(add_job/drain) used by its test loop (``tasks/tts/speech_base.py:287``)
+to overlap wav/plot file writes with inference.
 """
 
 from __future__ import annotations
@@ -34,6 +37,55 @@ def _worker_run(payload):
     except Exception:
         traceback.print_exc()
         return idx, None
+
+
+class ResultSaverPool:
+    """Fire-and-forget job pool for result writing (wav encode + matplotlib
+    render) so file IO overlaps device inference — the reference
+    ``MultiprocessManager`` surface (add_job / drain). Uses the *spawn*
+    context: the parent has live XLA runtime threads, which ``fork`` would
+    duplicate into a corrupt child. ``num_workers <= 1`` (e.g. this repo's
+    1-CPU CI) runs jobs synchronously in-process."""
+
+    def __init__(self, num_workers: Optional[int] = None):
+        if num_workers is None:
+            num_workers = int(os.getenv(
+                "N_PROC", max(1, (os.cpu_count() or 2) - 1)))
+        self.num_workers = int(num_workers)
+        self._results: list = []
+        self._futures: list = []
+        self._pool = None
+        if self.num_workers > 1:
+            import multiprocessing as mp
+
+            self._pool = mp.get_context("spawn").Pool(self.num_workers)
+
+    def add_job(self, fn: Callable, args: tuple = ()):
+        """fn must be a module-level (picklable) function."""
+        if self._pool is None:
+            try:
+                self._results.append(fn(*args))
+            except Exception:
+                traceback.print_exc()
+                self._results.append(None)
+        else:
+            self._futures.append(self._pool.apply_async(fn, args))
+
+    def drain(self) -> list:
+        """Wait for all jobs; returns their results (exceptions -> None)."""
+        for f in self._futures:
+            try:
+                self._results.append(f.get())
+            except Exception:
+                traceback.print_exc()
+                self._results.append(None)
+        self._futures = []
+        if self._pool is not None:
+            self._pool.close()
+            self._pool.join()
+            self._pool = None
+        out, self._results = self._results, []
+        return out
 
 
 def multiprocess_run_tqdm(fn: Callable, args: Iterable[dict],

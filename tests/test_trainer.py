@@ -65,6 +65,27 @@ def test_test_loop_writes_wavs(trained):
     assert any(w.startswith("[G]") for w in wavs)
     assert any(w.startswith("[P_SEG]") for w in wavs)
     assert any(w.endswith("_mel.npy") for w in wavs)
+    # async saver parity with the reference output set
+    # (speech_base.py:286-380): spectrogram plots + meta.csv
+    plots = os.listdir(os.path.join(gen_dir, "plot"))
+    assert any(p.startswith("[P]") and p.endswith(".png") for p in plots)
+    assert any(p.startswith("[G]") and p.endswith(".png") for p in plots)
+    assert os.path.exists(os.path.join(gen_dir, "meta.csv"))
+
+
+def test_result_saver_pool_async():
+    """ResultSaverPool with >1 worker runs jobs in spawned processes and
+    drain() returns their results in submission order."""
+    from speech_editing_tpu.utils.multiprocess import ResultSaverPool
+
+    pool = ResultSaverPool(2)
+    for i in range(5):
+        pool.add_job(divmod, (i, 3))
+    assert pool.drain() == [divmod(i, 3) for i in range(5)]
+    # synchronous fallback
+    pool = ResultSaverPool(1)
+    pool.add_job(divmod, (7, 3))
+    assert pool.drain() == [(2, 1)]
 
 
 def test_nan_grad_tripwire_skips_update():
