@@ -46,11 +46,19 @@ class GanTrainState:
 
 
 class _Discriminators:
-    """MPD + MSD pair applied functionally."""
+    """MPD + MSD pair applied functionally.
 
-    def __init__(self):
-        self.mpd = MultiPeriodDiscriminator()
-        self.msd = MultiScaleDiscriminator()
+    ``hp['disc_periods']`` / ``hp['msd_scales']`` shrink the stacks for
+    smoke/CI runs — the full 5-period MPD + 3-scale MSD GAN step exceeds
+    compile budgets on small hosts (CLAUDE.md); production configs keep
+    the reference defaults (hifigan :154-259)."""
+
+    def __init__(self, hp=None):
+        hp = hp or {}
+        self.mpd = MultiPeriodDiscriminator(
+            periods=tuple(hp.get("disc_periods", (2, 3, 5, 7, 11))))
+        self.msd = MultiScaleDiscriminator(
+            num_scales=int(hp.get("msd_scales", 3)))
 
     def init(self, rng, y, y_hat):
         # jitted init: eager flax init dispatches op-by-op (minutes on CPU)
@@ -73,7 +81,7 @@ class HifiGanTask(BaseTask):
         return HifiGanGenerator(hp=self.hp)
 
     def build_discriminators(self):
-        return _Discriminators()
+        return _Discriminators(self.hp)
 
     # -- GAN objects used by the Trainer's GAN path ---------------------------
     def init_gan_state(self, model, disc, batch, rng):

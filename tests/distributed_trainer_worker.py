@@ -6,10 +6,12 @@ sanity validation, per-interval validation, checkpointing — the multi-host
 path the reference covers with mp.spawn + NCCL + rank-0 checkpointing
 (``utils/commons/trainer.py:116-137,431-449,474-495``).
 
-argv: pid nproc port data_dir work_dir devices_per_process
-nproc == 1 runs the single-process baseline (no jax.distributed) on
-``devices_per_process`` virtual devices so the parent can compare final
-checkpoints bit-for-bit-close.
+argv: pid nproc port data_dir work_dir devices_per_process [task]
+``task`` is ``sd`` (SpecDenoiserTask, default) or ``gan`` (HifiGanTask —
+the multi-optimizer GAN path the reference runs under DDP,
+``utils/commons/trainer.py:312``). nproc == 1 runs the single-process
+baseline (no jax.distributed) on ``devices_per_process`` virtual devices
+so the parent can compare final checkpoints bit-for-bit-close.
 """
 
 import os
@@ -40,20 +42,45 @@ def make_hp(data_dir: str, work_dir: str) -> dict:
     return hp
 
 
-def main(pid: int, nproc: int, port: str, data_dir: str, work_dir: str):
+def make_gan_hp(data_dir: str, work_dir: str) -> dict:
+    from tests.helpers import TINY_VOC_HP
+
+    hp = dict(TINY_VOC_HP)
+    hp.update(
+        binary_data_dir=data_dir, work_dir=work_dir, exp_name="dist_gan",
+        infer=False, max_updates=6, val_check_interval=3, tb_log_interval=3,
+        num_sanity_val_steps=1, num_ckpt_keep=2, eval_max_batches=1,
+        max_sentences=4, max_valid_sentences=2, max_tokens=None,
+        endless_ds=True, vocoder="GriffinLim", save_best=False,
+        # shrink the disc stacks: this test proves cross-process gradient
+        # sync of the multi-optimizer GAN path, not disc capacity — the
+        # full MPD+MSD compile blows the 1-CPU time budget (CLAUDE.md)
+        disc_periods=[2, 3], msd_scales=1)
+    return hp
+
+
+def main(pid: int, nproc: int, port: str, data_dir: str, work_dir: str,
+         task_name: str = "sd"):
     if nproc > 1:
         from speech_editing_tpu.parallel.mesh import init_distributed
 
         init_distributed(f"localhost:{port}", nproc, pid)
     import jax
 
-    from speech_editing_tpu.training.tasks.spec_denoiser import \
-        SpecDenoiserTask
     from speech_editing_tpu.training.trainer import Trainer
 
     assert jax.process_count() == nproc, jax.process_count()
-    hp = make_hp(data_dir, work_dir)
-    task = SpecDenoiserTask(hp)
+    if task_name == "gan":
+        from speech_editing_tpu.training.tasks.hifigan import HifiGanTask
+
+        hp = make_gan_hp(data_dir, work_dir)
+        task = HifiGanTask(hp)
+    else:
+        from speech_editing_tpu.training.tasks.spec_denoiser import \
+            SpecDenoiserTask
+
+        hp = make_hp(data_dir, work_dir)
+        task = SpecDenoiserTask(hp)
     trainer = Trainer(task, hp)
     trainer.fit()
     print(f"DONE pid={pid} step={trainer.global_step}", flush=True)
@@ -71,4 +98,4 @@ if __name__ == "__main__":
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
-         sys.argv[5])
+         sys.argv[5], sys.argv[7] if len(sys.argv) > 7 else "sd")

@@ -136,3 +136,80 @@ def test_two_process_product_trainer_fit(tmp_path):
     assert treedef_m == treedef_s
     for a, b in zip(leaves_m, leaves_s):
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_two_process_gan_trainer_fit(tmp_path):
+    """VERDICT r3 #4: the GAN (multi-optimizer) trainer path under 2
+    processes — the reference covers this surface with its DDP
+    multi-optimizer loop (``utils/commons/trainer.py:312``). Asserts a
+    2-process ``Trainer.fit`` on HifiGanTask produces generator AND
+    discriminator checkpoints matching a single-process run on the same
+    4-device global mesh."""
+    from tests.helpers import write_voc_corpus
+
+    data_dir = str(tmp_path / "voc")
+    work_multi = str(tmp_path / "work_multi")
+    work_single = str(tmp_path / "work_single")
+    write_voc_corpus(data_dir, np.random.RandomState(0), n_items=12)
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, TRAINER_WORKER, str(i), "2", str(port),
+         data_dir, work_multi, "2", "gan"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, env=env) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    assert "DONE pid=0 step=6" in outs[0], outs[0]
+    assert "DONE pid=1 step=6" in outs[1], outs[1]
+
+    p = subprocess.Popen(
+        [sys.executable, TRAINER_WORKER, "0", "1", "0",
+         data_dir, work_single, "4", "gan"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, env=env)
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0, f"single-process run failed:\n{out}"
+
+    from speech_editing_tpu.training.checkpoint import (get_last_checkpoint,
+                                                        load_checkpoint)
+
+    path_m, steps_m = get_last_checkpoint(work_multi)
+    path_s, steps_s = get_last_checkpoint(work_single)
+    assert steps_m == steps_s == 6, (steps_m, steps_s)
+    import jax
+
+    sm = load_checkpoint(path_m)["state"]
+    ss = load_checkpoint(path_s)["state"]
+    # compare the FULL GAN state (generator + discriminator params)
+    leaves_m, treedef_m = jax.tree.flatten(
+        {"gen": sm.gen_params, "disc": sm.disc_params})
+    leaves_s, treedef_s = jax.tree.flatten(
+        {"gen": ss.gen_params, "disc": ss.disc_params})
+    assert treedef_m == treedef_s
+    for a, b in zip(leaves_m, leaves_s):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_multihost_infer_guard(monkeypatch, tmp_path):
+    """``Trainer.test`` must fail loudly (not deadlock) under multi-host:
+    non-main processes return early while main would enter global-mesh
+    state replication — a collective the others never join."""
+    from tests.helpers import TINY_HP
+    from speech_editing_tpu.training.tasks.spec_denoiser import \
+        SpecDenoiserTask
+    from speech_editing_tpu.training.trainer import Trainer
+
+    hp = dict(TINY_HP, binary_data_dir=str(tmp_path), infer=True,
+              work_dir=str(tmp_path / "work"), vocab_size=10)
+    trainer = Trainer(SpecDenoiserTask(hp), hp)
+    trainer.n_proc = 2  # simulate a 2-process launch
+    with pytest.raises(RuntimeError, match="single-process"):
+        trainer.test()
