@@ -117,10 +117,21 @@ def run_cli(cfg: str, exp: str, *extra: str) -> str:
 
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    cpu_keyed_cache_dir("/tmp/jax_compile_cache"))
-    p = subprocess.run([sys.executable, os.path.join(REPO, "run.py"),
-                        "--config", cfg, "--exp_name", exp, *extra],
-                       check=False, env=env, cwd=REPO,
-                       capture_output=True, text=True)
+    # per-phase wall-clock cap: a wedged axon-tunnel RPC can stall one
+    # run.py for 30+ min at ~0 CPU (observed once on a ps --infer);
+    # failing the phase fast beats eating the whole model budget
+    try:
+        p = subprocess.run([sys.executable, os.path.join(REPO, "run.py"),
+                            "--config", cfg, "--exp_name", exp, *extra],
+                           check=False, env=env, cwd=REPO,
+                           capture_output=True, text=True,
+                           timeout=int(os.environ.get("E2E_PHASE_TIMEOUT",
+                                                      1500)))
+    except subprocess.TimeoutExpired as e:
+        sys.stdout.write((e.stdout or "")[-4000:] if isinstance(
+            e.stdout, str) else "")
+        raise RuntimeError(f"run.py {extra} for {exp} timed out "
+                           f"(E2E_PHASE_TIMEOUT; wedged device RPC?)")
     sys.stdout.write(p.stdout[-4000:])
     if p.returncode != 0:
         sys.stderr.write((p.stderr or "")[-8000:])
