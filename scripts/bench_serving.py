@@ -201,13 +201,20 @@ def run_mixed(args):
         e = max(1, min(mb, args.frames_batch_budget // t_b))
         return 1 << (e.bit_length() - 1)  # pow2 floor, matching the server
 
+    def pow2ceil(n):
+        return 1 << max(n - 1, 0).bit_length()
+
     groups = {}
     for i, t in enumerate(frames):
         groups.setdefault(_bucket(int(t), buckets), []).append(i)
-    chunks = []  # (bucket, n_real_requests)
+    chunks = []  # (bucket, batch_size, n_real_requests)
     for t_b, idxs in sorted(groups.items()):
-        for c in range(0, len(idxs), eff_mb(t_b)):
-            chunks.append((t_b, len(idxs[c: c + eff_mb(t_b)])))
+        e = eff_mb(t_b)
+        for c in range(0, len(idxs), e):
+            n_real = len(idxs[c: c + e])
+            b_eff = (pow2ceil(n_real) if args.adaptive_tail and n_real < e
+                     else e)
+            chunks.append((t_b, b_eff, n_real))
 
     rs = np.random.RandomState(0)
     model, voc = build_programs()
@@ -221,29 +228,30 @@ def run_mixed(args):
 
     per_bucket = {}
     failed = []
-    for t_b in sorted({t for t, _ in chunks}):
-        print(f"| bucket T={t_b}: measuring (B={eff_mb(t_b)})",
+    for t_b, b_eff in sorted({(t, b) for t, b, _ in chunks}):
+        print(f"| bucket T={t_b}: measuring (B={b_eff})",
               file=sys.stderr, flush=True)
         for attempt in (1, 2):
             try:
                 warm_s, cold_s = measure_bucket(
-                    serve_k, variables, vparams, rs, eff_mb(t_b), t_b,
+                    serve_k, variables, vparams, rs, b_eff, t_b,
                     args.k1, args.k2, rng)
-                per_bucket[t_b] = {
+                per_bucket[(t_b, b_eff)] = {
                     "ms_per_batch_warm": round(warm_s * 1e3, 3),
                     "cold_compile_s": round(cold_s, 1),
-                    "batch": eff_mb(t_b)}
+                    "batch": b_eff}
                 break
             except Exception as e:  # transient remote-compile failures
-                print(f"| bucket T={t_b} attempt {attempt} failed: "
-                      f"{type(e).__name__}: {str(e)[:200]}",
+                print(f"| bucket T={t_b} B={b_eff} attempt {attempt} "
+                      f"failed: {type(e).__name__}: {str(e)[:200]}",
                       file=sys.stderr, flush=True)
         else:
-            failed.append(t_b)
+            failed.append((t_b, b_eff))
     if failed:
-        # no silent caps: drop the failed buckets' chunks from the
+        # no silent caps: drop the failed programs' chunks from the
         # timeline and SAY so in the output
-        chunks = [(t, n) for t, n in chunks if t not in failed]
+        chunks = [(t, b, n) for t, b, n in chunks
+                  if (t, b) not in failed]
 
     # serving timeline: all requests arrive at t=0 (edit_many batch mode);
     # chunks run sequentially on the one chip in server order; a request's
@@ -252,17 +260,20 @@ def run_mixed(args):
     now = 0.0
     lat = []
     audio_s = 0.0
-    for t_b, n_real in chunks:
-        now += per_bucket[t_b]["ms_per_batch_warm"] / 1e3
+    fill_num = fill_den = 0
+    for t_b, b_eff, n_real in chunks:
+        now += per_bucket[(t_b, b_eff)]["ms_per_batch_warm"] / 1e3
         lat.extend([now] * n_real)
         # audio seconds generated = real requests * their bucket duration
         audio_s += n_real * t_b * HOP / SR
+        fill_num += n_real
+        fill_den += b_eff
     lat = np.asarray(lat)
     total_s = now
-    n_served = sum(n for _, n in chunks)
+    n_served = sum(n for _, _, n in chunks)
     eps = n_served / total_s
     cold_total = sum(v["cold_compile_s"] for v in per_bucket.values())
-    fill = n_served / (len(chunks) * mb)
+    fill = fill_num / max(fill_den, 1)
 
     print(json.dumps({
         "metric": "serving_mixed_edits_per_sec_per_chip",
@@ -277,8 +288,9 @@ def run_mixed(args):
         "chunk_fill": round(fill, 3),
         "n_chunks": len(chunks),
         "cold_compile_s_total": round(cold_total, 1),
-        "per_bucket": per_bucket,
-        "failed_buckets": failed,
+        "adaptive_tail": bool(args.adaptive_tail),
+        "per_bucket": {f"T{t}xB{b}": v for (t, b), v in per_bucket.items()},
+        "failed_buckets": [list(x) for x in failed],
     }))
 
 
@@ -294,6 +306,8 @@ def main():
     ap.add_argument("--buckets", default="128,256,512,1024,1536")
     ap.add_argument("--frames-batch-budget", dest="frames_batch_budget",
                     type=int, default=16384)
+    ap.add_argument("--adaptive-tail", dest="adaptive_tail",
+                    action="store_true")
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
 

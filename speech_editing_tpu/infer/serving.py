@@ -74,6 +74,11 @@ def _bucket(n: int, buckets: Sequence[int], multiple: int = 1) -> int:
     return -(-b // multiple) * multiple
 
 
+def _pow2ceil(n: int) -> int:
+    """Smallest power of two >= n (adaptive tail-chunk program size)."""
+    return 1 << max(n - 1, 0).bit_length()
+
+
 def _pad_to(arr: np.ndarray, length: int) -> np.ndarray:
     """Zero-pad axis 0 of `arr` to `length`."""
     if arr.shape[0] >= length:
@@ -95,7 +100,8 @@ class BatchedEditServer:
                  hp: Optional[Any] = None, max_batch: int = 8,
                  frame_buckets: Sequence[int] = (128, 256, 512, 1024, 1536),
                  token_buckets: Sequence[int] = (32, 64, 128, 256),
-                 frames_batch_budget: Optional[int] = None):
+                 frames_batch_budget: Optional[int] = None,
+                 adaptive_tail: Optional[bool] = None):
         assert infer_ins is not None or hp is not None
         self.infer = infer_ins or SpecDenoiserInfer(hp)
         self.hp = self.infer.hp
@@ -114,6 +120,18 @@ class BatchedEditServer:
             frames_batch_budget = int(self.hp.get("serve_frames_batch_budget",
                                                   0))
         self.frames_batch_budget = int(frames_batch_budget)
+        # adaptive tail: run a bucket's FINAL partial chunk at the next
+        # pow2 >= its real size instead of replicate-padding to the full
+        # batch (mixed-traffic chunk fill measured 0.667 — a third of
+        # device time went to padding rows). Opt-in because it relaxes the
+        # determinism contract: a request in an adaptive tail runs under a
+        # batch size that depends on how many requests co-submitted, and a
+        # recompiled batch shape can reassociate within-row reductions
+        # (~1e-6 float drift vs the fixed-batch program; never cross-row
+        # leakage). Default off = bit-exact batch-composition invariance.
+        if adaptive_tail is None:
+            adaptive_tail = bool(self.hp.get("serve_adaptive_tail", False))
+        self.adaptive_tail = bool(adaptive_tail)
 
     # -- bucketing ------------------------------------------------------------
     def _fb(self, n: int) -> int:
@@ -134,7 +152,11 @@ class BatchedEditServer:
     def _chunks(self, idxs: List[int], t_b: Optional[int] = None):
         mb = self._mb(t_b) if t_b else self.max_batch
         for i in range(0, len(idxs), mb):
-            yield idxs[i: i + mb], mb
+            chunk = idxs[i: i + mb]
+            if self.adaptive_tail and len(chunk) < mb:
+                yield chunk, _pow2ceil(len(chunk))
+            else:
+                yield chunk, mb
 
     # -- pipeline -------------------------------------------------------------
     def edit_many(self, inputs: List[dict], seed: Optional[int] = None
@@ -287,7 +309,8 @@ class BatchedInPlaceEditServer:
     def __init__(self, infer_ins, max_batch: int = 8,
                  frame_buckets: Sequence[int] = (128, 256, 512, 1024, 1536),
                  token_buckets: Sequence[int] = (32, 64, 128, 256),
-                 frames_batch_budget: Optional[int] = None):
+                 frames_batch_budget: Optional[int] = None,
+                 adaptive_tail: Optional[bool] = None):
         self.infer = infer_ins
         self.hp = infer_ins.hp
         self.max_batch = int(max_batch)
@@ -303,6 +326,12 @@ class BatchedInPlaceEditServer:
             frames_batch_budget = int(self.hp.get("serve_frames_batch_budget",
                                                   0))
         self.frames_batch_budget = int(frames_batch_budget)
+        # adaptive tail-chunk sizing — see BatchedEditServer (opt-in: it
+        # relaxes bit-exact batch-composition invariance to ~1e-6
+        # recompile reassociation for requests landing in a tail chunk)
+        if adaptive_tail is None:
+            adaptive_tail = bool(self.hp.get("serve_adaptive_tail", False))
+        self.adaptive_tail = bool(adaptive_tail)
 
     def _fb(self, n: int) -> int:
         return _bucket(n, self.frame_buckets, self.fm)
@@ -320,7 +349,11 @@ class BatchedInPlaceEditServer:
     def _chunks(self, idxs: List[int], t_b: Optional[int] = None):
         mb = self._mb(t_b) if t_b else self.max_batch
         for i in range(0, len(idxs), mb):
-            yield idxs[i: i + mb], mb
+            chunk = idxs[i: i + mb]
+            if self.adaptive_tail and len(chunk) < mb:
+                yield chunk, _pow2ceil(len(chunk))
+            else:
+                yield chunk, mb
 
     def edit_many(self, inputs: List[dict], seed: Optional[int] = None
                   ) -> List[dict]:
