@@ -1,9 +1,9 @@
-"""Batched-serving benchmark: uniform-shape throughput AND mixed traffic.
+"""Batched-serving benchmark: uniform throughput, mixed traffic, ONLINE load.
 
 The reference serves edits strictly one at a time
 (``inference/tts/spec_denoiser.py:247-277``); the serving engine
-(``infer/serving.py``) batches the device work under static bucket shapes.
-Two modes:
+(``infer/serving.py``) batches the device work under static bucket shapes,
+and ``infer/online.py`` adds arrival-aware continuous batching. Four modes:
 
 * default (uniform): the batched device program — reverse diffusion (T=8,
   flagship egs/spec_denoiser.yaml sizes) + composite + HiFi-GAN V1 vocode —
@@ -20,6 +20,22 @@ Two modes:
   max_batch (server semantics), so a partially-filled chunk costs a full
   batch — the mix number includes that waste, unlike the uniform mode.
 
+* ``--online --rate R``: the REAL ``OnlineEditServer`` under a Poisson
+  arrival process on the chip — synthetic requests (host g2p/f0 excluded,
+  as in the other modes) submitted at exponential inter-arrival times,
+  full two-stage pipeline (dur inpainting -> reverse diffusion ->
+  vocode), deadline scheduler, ``warmup()`` first (timed — the cold-start
+  story). Latencies are wall-clock from submit to the result's
+  device->host fetch, so they are QUEUE-INCLUSIVE and also include the
+  axon tunnel's ~40 ms round trip per device program — honest for a
+  network-attached chip, conservative vs on-host serving.
+* ``--online --virtual --rates R1,R2,..``: the same scheduler code driven
+  by a VIRTUAL clock whose chunk service times are measured on-chip with
+  the two-K scan protocol (tunnel-free) — the latency-throughput curve at
+  several offered loads without the tunnel constant. adaptive_tail is
+  forced off here (its pow2-ladder times are not measured); merging
+  changes no program shapes so it simulates exactly.
+
 Timing protocol (CLAUDE.md / BASELINE.md): K iterations inside ONE jitted
 ``lax.scan``, full-output accumulation in the carry (defeats DCE), a large
 device→host fetch as the completion barrier, two K values differenced to
@@ -29,6 +45,8 @@ as first-call wall time minus one warm call.
 Usage:
   python scripts/bench_serving.py [--frames 512] [--batches 1,8,16]
   python scripts/bench_serving.py --mixed [--n-requests 64] [--max-batch 16]
+  python scripts/bench_serving.py --online --rate 40 [--duration 20]
+  python scripts/bench_serving.py --online --virtual --rates 35,56,67
 Prints one JSON line.
 """
 
@@ -49,7 +67,7 @@ SR, HOP = 22050, 256
 VOCAB, S_TXT = 80, 48
 
 
-def build_programs():
+def build_programs(tiny: bool = False):
     import jax
 
     from __graft_entry__ import _flagship_hp
@@ -57,14 +75,16 @@ def build_programs():
     from speech_editing_tpu.training.tasks.spec_denoiser import build_model
 
     # flagship egs/base.yaml serves with use_spk_embed: true — bench the
-    # same program the serving engine runs (conditioner + spk projection)
-    hp = dict(_flagship_hp(), use_spk_embed=True)
+    # same program the serving engine runs (conditioner + spk projection).
+    # tiny=True is a CPU smoke-test configuration, never a reported number.
+    hp = dict(_flagship_hp(tiny=tiny), use_spk_embed=True)
     model = build_model(VOCAB, hp)
     vhp = {"upsample_rates": [8, 8, 2, 2],
            "upsample_kernel_sizes": [16, 16, 4, 4],
-           "upsample_initial_channel": 512, "resblock": "1",
-           "resblock_kernel_sizes": [3, 7, 11],
-           "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5], [1, 3, 5]]}
+           "upsample_initial_channel": 16 if tiny else 512, "resblock": "1",
+           "resblock_kernel_sizes": [3] if tiny else [3, 7, 11],
+           "resblock_dilation_sizes": ([[1, 3]] if tiny
+                                       else [[1, 3, 5]] * 3)}
     voc = HifiGanGenerator(hp=vhp)
     return model, voc
 
@@ -294,6 +314,407 @@ def run_mixed(args):
     }))
 
 
+# -- online (arrival-process) modes -------------------------------------------
+
+def synth_online_item(rs, n_frames: int, name: str) -> dict:
+    """Synthetic PREPROCESSED request item (the fields
+    ``SpecDenoiserInfer.preprocess_input`` would produce): W words x 2
+    phones, monotonic alignment, the middle word edited into two words.
+    Values are inert; shapes/alignment drive the real pipeline."""
+    n_frames = int(n_frames)
+    W = max(4, n_frames // 24)          # ~24 frames per word
+    S = 2 * W
+    ph2word = np.repeat(np.arange(1, W + 1), 2).astype(np.int64)
+    w0 = W // 2                          # 1-indexed middle word
+    edited_ph2word = np.repeat(np.arange(1, W + 2), 2).astype(np.int64)
+    s_edit = 2 * (W + 1)
+    mel2ph = np.minimum(np.arange(n_frames) * S // n_frames + 1, S
+                        ).astype(np.int64)
+    return {
+        "item_name": name, "ph": name,
+        "ph2word": ph2word, "edited_ph2word": edited_ph2word,
+        "ph_token": rs.randint(1, VOCAB, S).astype(np.int64),
+        "edited_ph_token": rs.randint(1, VOCAB, s_edit).astype(np.int64),
+        "words_region": [(w0, w0)], "edited_words_region": [(w0, w0 + 1)],
+        "mel2ph": mel2ph, "mel2word": ph2word[mel2ph - 1],
+        "dur": np.bincount(mel2ph, minlength=S + 1)[1:].astype(np.int64),
+        "f0": rs.rand(n_frames).astype(np.float32),
+        "uv": np.zeros(n_frames, np.float32),
+        "mel": (rs.randn(n_frames, 80) * 0.3 - 2).astype(np.float32),
+        "wav": np.zeros(16, np.float32),
+    }
+
+
+def build_infer_adapter(tiny=False):
+    """SpecDenoiserInfer-shaped adapter over the flagship programs: real
+    jitted device stages, synthetic host preprocessing."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_hp
+    from speech_editing_tpu.models.spec_denoiser.spec_denoiser import \
+        GaussianDiffusion
+
+    model, voc = build_programs(tiny)
+    rs = np.random.RandomState(0)
+    ins1 = batch_inputs(rs, 1, 128)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        *ins1)
+    vparams = jax.jit(voc.init)(jax.random.PRNGKey(2), ins1[4])
+    apply_voc = jax.jit(voc.apply)
+
+    class _Voc:
+        device_batched = True
+
+        def spec2wav_batch(self, mels):
+            return np.asarray(apply_voc(vparams, jnp.asarray(mels,
+                                                             jnp.float32)))
+
+    class _BenchInfer:
+        _token_field = "edited_ph_token"
+        hp = dict(_flagship_hp(tiny), use_spk_embed=True, hop_size=HOP,
+                  audio_sample_rate=SR, seed=1234)
+
+        def __init__(self):
+            self.variables = variables
+            self.vocoder = _Voc()
+            self._predict_dur = jax.jit(
+                lambda v, *a: model.apply(
+                    v, *a, method=GaussianDiffusion.predict_durations))
+            self._infer = jax.jit(
+                lambda v, txt, tm, m2p, spk, mels, f0, uv, rng: model.apply(
+                    v, txt, tm, m2p, spk, mels, f0, uv, infer=True,
+                    use_pred_pitch=True, rng=rng))
+
+        def spk_embedder(self, wav):
+            return np.zeros(256, np.float32)
+
+        def preprocess_input(self, inp):
+            return inp["item"]
+
+    return _BenchInfer(), model, voc, variables, vparams
+
+
+def _draw_traffic(args):
+    """(lognormal frame lengths, Poisson arrival times). Lengths clip to
+    the largest configured bucket so rare >17 s draws don't force one-off
+    overflow-bucket compiles mid-traffic."""
+    rs = np.random.RandomState(args.seed)
+    n = (args.n_requests if not args.duration
+         else max(8, int(args.rate * args.duration)))
+    dur = np.exp(rs.normal(np.log(5.5), 0.45, n))
+    t_max = max(int(x) for x in args.buckets.split(","))
+    frames = np.clip((dur * SR / HOP).astype(int), 90, t_max)
+    t_arr = np.cumsum(rs.exponential(1.0 / args.rate, n))
+    return frames, t_arr
+
+
+def _latency_summary(lat):
+    lat = np.asarray(lat) * 1e3
+    return {"p50": round(float(np.percentile(lat, 50)), 1),
+            "p90": round(float(np.percentile(lat, 90)), 1),
+            "p99": round(float(np.percentile(lat, 99)), 1),
+            "max": round(float(lat.max()), 1),
+            "mean": round(float(lat.mean()), 1)}
+
+
+def run_online_real(args):
+    """REAL OnlineEditServer under Poisson arrivals on the chip."""
+    import time as _time
+
+    from speech_editing_tpu.infer.online import OnlineEditServer
+    from speech_editing_tpu.infer.serving import BatchedEditServer
+
+    infer, *_ = build_infer_adapter(args.tiny)
+    buckets = tuple(int(x) for x in args.buckets.split(","))
+    server = BatchedEditServer(
+        infer, max_batch=args.max_batch, frame_buckets=buckets,
+        token_buckets=(32, 64, 128, 256),
+        frames_batch_budget=args.frames_batch_budget,
+        adaptive_tail=args.adaptive_tail,
+        merge_token_tails=args.merge_token_tails)
+
+    frames, t_arr = _draw_traffic(args)
+    rs = np.random.RandomState(1)
+    reqs = [{"item": synth_online_item(rs, f, f"r{i}")}
+            for i, f in enumerate(frames)]
+
+    # warm exactly the (token, frame) pairs this traffic hits, plus the
+    # next frame bucket up (stage-2 lands at fb(t_new) which can cross a
+    # boundary when the edit lengthens the utterance)
+    pairs = set()
+    for r in reqs:
+        it = r["item"]
+        s_b = server._tb(len(it["edited_ph_token"]))
+        t_b = server._fb(len(it["mel2ph"]))
+        pairs.add((s_b, t_b))
+        nxt = [b for b in server.frame_buckets if b > t_b]
+        if nxt:
+            pairs.add((s_b, nxt[0]))
+    t0 = _time.perf_counter()
+    for s_b, t_b in sorted(pairs):
+        print(f"| warmup S={s_b} T={t_b}", file=sys.stderr, flush=True)
+        server.warmup(frame_buckets=[t_b], token_buckets=[s_b])
+    warmup_s = _time.perf_counter() - t0
+    shapes_warm = set(server.program_shapes)
+
+    srv = OnlineEditServer(server, max_wait_ms=args.max_wait_ms)
+    t_start = _time.monotonic()
+    futures = []
+    for i, req in enumerate(reqs):
+        lag = t_start + t_arr[i] - _time.monotonic()
+        if lag > 0:
+            _time.sleep(lag)
+        futures.append(srv.submit(req))
+    results = [f.result(timeout=1800) for f in futures]
+    t_done = _time.monotonic()
+    srv.close()
+
+    lat = [f.latency_s for f in futures]
+    new_shapes = server.program_shapes - shapes_warm
+    n_real = sum(l[3] for l in srv.launches)
+    fill = n_real / max(sum(l[4] for l in srv.launches), 1)
+    n_merged = sum(l[5] for l in srv.launches)
+    audio_s = float(sum(r["t_frames"] for r in results) * HOP / SR)
+    wall = t_done - t_start
+    print(json.dumps({
+        "metric": "serving_online_edits_per_sec_per_chip",
+        "value": round(len(results) / wall, 2),
+        "unit": (f"edits/s REAL Poisson load rate={args.rate}/s "
+                 f"({len(results)} reqs, max_wait={args.max_wait_ms}ms, "
+                 f"queue-inclusive wall latency incl. tunnel RTT)"),
+        "offered_rate": args.rate,
+        "latency_ms": _latency_summary(lat),
+        "audio_sec_per_sec": round(audio_s / wall, 1),
+        "chunk_fill": round(fill, 3),
+        "n_chunks": len(srv.launches),
+        "n_merged_requests": n_merged,
+        "warmup_s": round(warmup_s, 1),
+        "compiles_after_warmup": len(new_shapes),
+        "adaptive_tail": bool(args.adaptive_tail),
+        "merge_token_tails": bool(args.merge_token_tails),
+    }))
+
+
+def make_model_k(model):
+    """K-scan of the serving _infer program alone (no vocoder)."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=(9,))
+    def model_k(params, txt, mask, mel2ph, spk, ref, f0, uv, rng, k):
+        def body(acc, key):
+            r = ref + jax.random.uniform(key, (), minval=0.0, maxval=1e-6)
+            out = model.apply(params, txt, mask, mel2ph, spk, r, f0, uv,
+                              infer=True, use_pred_pitch=True, rng=key)
+            return acc + out["mel_out"].astype(jnp.float32), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(ref.shape, jnp.float32),
+                              jax.random.split(rng, k))
+        return acc
+
+    return model_k
+
+
+def make_voc_k(voc):
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=(3,))
+    def voc_k(vps, mel, rng, k):
+        def body(acc, key):
+            m = mel + jax.random.uniform(key, (), minval=0.0, maxval=1e-6)
+            return acc + voc.apply(vps, m).astype(jnp.float32), None
+
+        b, t = mel.shape[0], mel.shape[1]
+        acc, _ = jax.lax.scan(body, jnp.zeros((b, t * HOP), jnp.float32),
+                              jax.random.split(rng, k))
+        return acc
+
+    return voc_k
+
+
+def make_dur_k(model):
+    import jax
+    import jax.numpy as jnp
+
+    from speech_editing_tpu.models.spec_denoiser.spec_denoiser import \
+        GaussianDiffusion
+
+    @partial(jax.jit, static_argnums=(6,))
+    def dur_k(params, txt, tm, m2p, mdur, spk, k):
+        def body(acc, key):
+            s = spk + jax.random.uniform(key, (), minval=0.0, maxval=1e-6)
+            out = model.apply(params, txt, tm, m2p, mdur, s,
+                              method=GaussianDiffusion.predict_durations)
+            return acc + out["dur"].astype(jnp.float32), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((txt.shape[0], txt.shape[1]), jnp.float32),
+            jax.random.split(jax.random.PRNGKey(5), k))
+        return acc
+
+    return dur_k
+
+
+def _two_k_delta(fn_call, k1, k2):
+    """Warm per-iteration seconds via the two-K scan-delta protocol."""
+    def timed(k):
+        np.asarray(fn_call(k))  # compile / warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn_call(k))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    w1, w2 = timed(k1), timed(k2)
+    return max(w2 - w1, 1e-9) / (k2 - k1)
+
+
+def run_online_virtual(args):
+    """Latency-throughput curve: the REAL scheduler under a virtual clock
+    whose chunk service times are measured on-chip (two-K scan protocol,
+    tunnel-free)."""
+    import jax
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+
+    from speech_editing_tpu.infer.online import OnlineEditServer
+    from speech_editing_tpu.infer.serving import (BatchedInPlaceEditServer,
+                                                  Request)
+
+    buckets = tuple(int(x) for x in args.buckets.split(","))
+    cfg = BatchedInPlaceEditServer(
+        SimpleNamespace(hp={"frames_multiple": 1}), max_batch=args.max_batch,
+        frame_buckets=buckets, token_buckets=(32, 64, 128, 256),
+        frames_batch_budget=args.frames_batch_budget,
+        adaptive_tail=False,  # pow2-ladder times not measured
+        merge_token_tails=args.merge_token_tails)
+
+    rates = [float(x) for x in args.rates.split(",")]
+    # per-rate traffic shares the same length distribution
+    rs_len = np.random.RandomState(args.seed)
+    frames_all = np.clip((np.exp(rs_len.normal(np.log(5.5), 0.45, 4096))
+                          * SR / HOP).astype(int), 90, max(buckets))
+
+    # measure service times for every (t_b, mb) the traffic can hit
+    t_bs = sorted({cfg._fb(int(f)) for f in frames_all})
+    rs = np.random.RandomState(0)
+    model, voc = build_programs(args.tiny)
+    ins1 = batch_inputs(rs, 1, 128)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        *ins1)
+    vparams = jax.jit(voc.init)(jax.random.PRNGKey(2), ins1[4])
+    model_k, voc_k, dur_k = (make_model_k(model), make_voc_k(voc),
+                             make_dur_k(model))
+    rng = jax.random.PRNGKey(3)
+    svc_dur, svc_diff = {}, {}
+    for t_b in t_bs:
+        mb = cfg._mb(t_b)
+        ins = batch_inputs(rs, mb, t_b)
+        txt, mask, mel2ph, spk, ref, f0, uv = ins
+        print(f"| measuring T={t_b} B={mb}", file=sys.stderr, flush=True)
+        diff_s = _two_k_delta(
+            lambda k: model_k(variables, txt, mask, mel2ph, spk, ref, f0,
+                              uv, jax.random.fold_in(rng, t_b), k),
+            args.k1, args.k2)
+        voc_s = _two_k_delta(lambda k: voc_k(vparams, ref, rng, k),
+                             args.k1, args.k2)
+        mdur = jnp.asarray(np.ones((mb, S_TXT), np.int64))
+        dur_s = _two_k_delta(
+            lambda k: dur_k(variables, txt, mask, mel2ph, mdur, spk, k),
+            args.k1, args.k2)
+        svc_diff[(t_b, mb)] = diff_s + voc_s
+        svc_dur[(t_b, mb)] = dur_s
+
+    class _VClock:
+        t = 0.0
+
+    class SimPipeline:
+        """Real scheduler, measured service times, t_new == t0."""
+        STAGES = ("dur", "diff")
+        adaptive_tail = cfg.adaptive_tail
+        merge_token_tails = cfg.merge_token_tails
+
+        def __init__(self, clk):
+            self.clk = clk
+
+        def _mb(self, t_b):
+            return cfg._mb(t_b)
+
+        def online_prepare(self, inp, seed):
+            r = Request(inp)
+            r.stage = "dur"
+            s_edit = 2 * (max(4, inp["t"] // 24) + 1)
+            r.group = (cfg._tb(s_edit), cfg._fb(inp["t"]))
+            return r
+
+        def online_run(self, stage, s_b, t_b, reqs, b_eff):
+            svc = svc_dur if stage == "dur" else svc_diff
+            self.clk.t += svc[(t_b, b_eff)]
+            for r in reqs:
+                if stage == "dur":
+                    r.stage = "diff"  # group unchanged: t_new == t0
+                else:
+                    r.result = {"t_frames": t_b}
+
+    curve = []
+    for rate in rates:
+        n = max(64, int(rate * args.duration)) if args.duration else \
+            args.n_requests
+        frames = frames_all[:n]
+        t_arr = np.cumsum(
+            np.random.RandomState(args.seed + 1).exponential(1.0 / rate, n))
+        clk = _VClock()
+        sim = SimPipeline(clk)
+        srv = OnlineEditServer(sim, max_wait_ms=args.max_wait_ms,
+                               clock=lambda: clk.t, start=False)
+        futs, i = [], 0
+        while i < n or srv._n_queued:
+            while i < n and t_arr[i] <= clk.t + 1e-12:
+                futs.append(srv.submit({"t": int(frames[i])}))
+                i += 1
+            if srv.poll_once():
+                continue
+            nd = srv._next_deadline()
+            cand = [x for x in (nd, t_arr[i] if i < n else None)
+                    if x is not None]
+            if not cand:
+                break
+            clk.t = max(clk.t, min(cand))
+        lat = [f.latency_s for f in futs]
+        n_real = sum(l[3] for l in srv.launches)
+        fill = n_real / max(sum(l[4] for l in srv.launches), 1)
+        busy = sum((svc_dur if l[0] == "dur" else svc_diff)[(l[2], l[4])]
+                   for l in srv.launches)
+        wall = clk.t - 0.0
+        curve.append({
+            "rate": rate, "n": n,
+            "throughput": round(n / max(wall, 1e-9), 2),
+            "latency_ms": _latency_summary(lat),
+            "chunk_fill": round(fill, 3),
+            "utilization": round(busy / max(wall, 1e-9), 3),
+            "n_merged_requests": sum(l[5] for l in srv.launches),
+        })
+        print(f"| rate={rate}: {curve[-1]}", file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "metric": "serving_online_latency_curve",
+        "value": curve[-1]["latency_ms"]["p99"],
+        "unit": (f"p99 ms at rate={rates[-1]}/s (virtual clock over "
+                 f"on-chip two-K service times, max_wait="
+                 f"{args.max_wait_ms}ms, merge={args.merge_token_tails})"),
+        "curve": curve,
+        "service_times_ms": {
+            f"T{t}xB{b}": {"dur": round(svc_dur[(t, b)] * 1e3, 2),
+                           "diff+voc": round(svc_diff[(t, b)] * 1e3, 2)}
+            for (t, b) in sorted(svc_diff)},
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=512)
@@ -309,6 +730,22 @@ def main():
     ap.add_argument("--adaptive-tail", dest="adaptive_tail",
                     action="store_true")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--online", action="store_true",
+                    help="OnlineEditServer under Poisson arrivals")
+    ap.add_argument("--virtual", action="store_true",
+                    help="virtual clock + measured service times (curve)")
+    ap.add_argument("--rate", type=float, default=40.0,
+                    help="offered load, edits/s (real online mode)")
+    ap.add_argument("--rates", default="35,56,67",
+                    help="offered loads for --virtual curve")
+    ap.add_argument("--duration", type=float, default=0.0,
+                    help="traffic duration seconds (0: use --n-requests)")
+    ap.add_argument("--max-wait-ms", dest="max_wait_ms", type=float,
+                    default=100.0)
+    ap.add_argument("--merge-token-tails", dest="merge_token_tails",
+                    action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model CPU smoke test (never a reported number)")
     args = ap.parse_args()
 
     import jax
@@ -319,7 +756,11 @@ def main():
         os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    if args.mixed:
+    if args.online and args.virtual:
+        run_online_virtual(args)
+    elif args.online:
+        run_online_real(args)
+    elif args.mixed:
         run_mixed(args)
     else:
         run_uniform(args)

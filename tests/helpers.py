@@ -227,6 +227,66 @@ def perturb_biases(params, seed=0, scale=0.05):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def make_spec_denoiser_serve_env(tmp) -> dict:
+    """Tiny trained-from-init spec_denoiser checkpoint + phone_set covering
+    the g2p output of the serving-test sentences; returns the hp dict
+    (shared by tests/test_serving.py and tests/test_serving_online.py)."""
+    import json
+    import os
+
+    import jax
+
+    from speech_editing_tpu.training.checkpoint import save_checkpoint
+    from speech_editing_tpu.training.optim import build_optimizer
+    from speech_editing_tpu.training.tasks.spec_denoiser import \
+        SpecDenoiserTask
+    from speech_editing_tpu.training.train_state import TrainState
+    from speech_editing_tpu.utils.text.processors import (get_txt_processor_cls,
+                                                          txt_to_ph)
+
+    data_dir = str(tmp / "binary")
+    work_dir = str(tmp / "work")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(work_dir, exist_ok=True)
+
+    tp = get_txt_processor_cls("en")
+    texts = ["this is a test sentence", "this is a wonderful test sentence",
+             "this is a different test sentence",
+             "this is a very long wonderful test sentence indeed"]
+    phones = set()
+    for t in texts:
+        ph, *_ = txt_to_ph(tp, t)
+        phones.update(ph.split(" "))
+    json.dump(sorted(phones), open(f"{data_dir}/phone_set.json", "w"))
+
+    hp = dict(TINY_HP)
+    hp.update(binary_data_dir=data_dir, work_dir=work_dir, infer=True,
+              use_spk_embed=True, f0_min=80, f0_max=600, language="en",
+              vocoder="GriffinLim", seed=1234)
+    task = SpecDenoiserTask(hp)
+    model = task.build_model()
+    rng = np.random.RandomState(0)
+    t_frames, s_tok = 64, 10
+    batch = {
+        "txt_tokens": rng.randint(3, task.vocab_size, (1, s_tok)),
+        "time_mel_masks": np.zeros((1, t_frames), np.float32),
+        "mel2ph": np.clip(np.sort(rng.randint(1, s_tok, (1, t_frames))),
+                          1, s_tok),
+        "mels": rng.randn(1, t_frames, 80).astype(np.float32),
+        "f0": rng.rand(1, t_frames).astype(np.float32),
+        "uv": np.zeros((1, t_frames), np.float32),
+        "spk_embed": np.zeros((1, 256), np.float32),
+    }
+    variables = task.init_model(model, batch, jax.random.PRNGKey(0))
+    tx = build_optimizer(hp)
+    # nonzero biases/LN offsets: at flax init every bias is zero, under
+    # which padded frames stay exactly zero through conv/norm stacks and
+    # padding-inertness assertions would pass trivially
+    state = TrainState.create(perturb_biases(variables["params"]), tx)
+    save_checkpoint(work_dir, state, steps=1)
+    return hp
+
+
 def stub_reference_deps():
     """Insert no-op stand-ins for the reference repo's missing audio deps
     (librosa/pyloudnorm/webrtcvad/skimage) so its torch model modules can be
