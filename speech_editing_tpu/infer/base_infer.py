@@ -48,6 +48,23 @@ class BaseInfer:
         print(f"| loaded {ckpt_path} (step {payload['steps']})")
         return {"params": params}
 
+    def maybe_quantize(self, variables):
+        """``hp['serve_quant_int8']``: weight-only int8 for the serving
+        programs (infer/quant.py). Returns (variables, deq) where ``deq``
+        is applied INSIDE the jitted program — identity when the flag is
+        off, so every family's build_model routes through here."""
+        if not self.hp.get("serve_quant_int8"):
+            return variables, lambda v: v
+        from speech_editing_tpu.infer.quant import (dequantize_tree,
+                                                    max_quant_error,
+                                                    quantize_tree)
+
+        q = quantize_tree(variables["params"],
+                          min_size=int(self.hp.get("quant_min_size", 4096)))
+        print(f"| int8 weight-only serving: max quant err "
+              f"{max_quant_error(variables['params'], q):.2e}")
+        return {"params": q}, dequantize_tree
+
     def build_vocoder(self):
         from speech_editing_tpu.infer.vocoder import get_vocoder_cls
 

@@ -72,9 +72,10 @@ class CampNetInfer(_InPlaceEditInfer):
 
         model = CampNet(vocab_size=self.ph_encoder.vocab_size, hp=self.hp,
                         out_dims=self.hp.get("audio_num_mel_bins", 80))
-        variables = self.load_variables()
+        variables, deq = self.maybe_quantize(self.load_variables())
         self._infer = jax.jit(
-            lambda v, txt, mels, tm: model.apply(v, txt, mels, tm, infer=True))
+            lambda v, txt, mels, tm: model.apply(deq(v), txt, mels, tm,
+                                                 infer=True))
         return model, variables
 
     def _model_mel_out_batch(self, txt, mels, mel2ph, tm, spk, f0, uv):
@@ -93,10 +94,10 @@ class A3TInfer(_InPlaceEditInfer):
 
         model = A3T(vocab_size=self.ph_encoder.vocab_size, hp=self.hp,
                     out_dims=self.hp.get("audio_num_mel_bins", 80))
-        variables = self.load_variables()
+        variables, deq = self.maybe_quantize(self.load_variables())
         self._infer = jax.jit(
             lambda v, txt, mels, m2p, tm: model.apply(
-                v, txt, mels, m2p, tm, infer=True))
+                deq(v), txt, mels, m2p, tm, infer=True))
         return model, variables
 
     def _model_mel_out_batch(self, txt, mels, mel2ph, tm, spk, f0, uv):
@@ -116,10 +117,10 @@ class EditSpeechInfer(_InPlaceEditInfer):
 
         model = EditSpeech(vocab_size=self.ph_encoder.vocab_size, hp=self.hp,
                            out_dims=self.hp.get("audio_num_mel_bins", 80))
-        variables = self.load_variables()
+        variables, deq = self.maybe_quantize(self.load_variables())
         self._infer = jax.jit(
             lambda v, txt, tm, m2p, spk, mels, f0, uv: model.apply(
-                v, txt, tm, m2p, spk, mels, f0, uv, infer=True))
+                deq(v), txt, tm, m2p, spk, mels, f0, uv, infer=True))
         return model, variables
 
     def _model_mel_out_batch(self, txt, mels, mel2ph, tm, spk, f0, uv):

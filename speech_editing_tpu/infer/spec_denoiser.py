@@ -219,13 +219,13 @@ class SpecDenoiserInfer(BaseInfer):
         from speech_editing_tpu.training.tasks.spec_denoiser import build_model
 
         model = build_model(self.ph_encoder.vocab_size, self.hp)
-        variables = self.load_variables()
+        variables, deq = self.maybe_quantize(self.load_variables())
         self._predict_dur = jax.jit(
             lambda v, *a: model.apply(
-                v, *a, method=GaussianDiffusion.predict_durations))
+                deq(v), *a, method=GaussianDiffusion.predict_durations))
         self._infer = jax.jit(
             lambda v, txt, tm, m2p, spk, mels, f0, uv, rng: model.apply(
-                v, txt, tm, m2p, spk, mels, f0, uv, infer=True,
+                deq(v), txt, tm, m2p, spk, mels, f0, uv, infer=True,
                 use_pred_pitch=True, rng=rng))
         return model, variables
 

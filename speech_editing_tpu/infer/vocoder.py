@@ -93,7 +93,19 @@ class HifiGAN(BaseVocoder):
                 if "gen" in params and "disc" in params:
                     params = params["gen"]
             gen = HifiGanGenerator(hp=vhp)
-            apply_jit = jax.jit(lambda p, m: gen.apply({"params": p}, m))
+            if hp.get("serve_quant_int8"):
+                # weight-only int8 (infer/quant.py): HiFi-GAN is
+                # HBM-bound (BASELINE.md roofline), so halved weight
+                # reads are the one lever that doesn't change the model
+                from speech_editing_tpu.infer.quant import (dequantize_tree,
+                                                            quantize_tree)
+
+                params = quantize_tree(
+                    params, min_size=int(hp.get("quant_min_size", 4096)))
+                apply_jit = jax.jit(
+                    lambda p, m: gen.apply({"params": dequantize_tree(p)}, m))
+            else:
+                apply_jit = jax.jit(lambda p, m: gen.apply({"params": p}, m))
 
             def run(mel):
                 return np.asarray(apply_jit(params, jnp.asarray(mel[None], jnp.float32)))[0]

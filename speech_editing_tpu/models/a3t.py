@@ -49,17 +49,26 @@ class Postnet(nn.Module):
     norm_type: str = "ln"
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 nonpadding=None) -> jax.Array:
+        """nonpadding [B,T] (pad-safe serving): re-mask after every layer —
+        without it, norm(0)=bias rows at padded frames feed the next conv
+        and leak into real frames within the kernel radius. None keeps the
+        reference behavior (no internal masking)."""
         from speech_editing_tpu.modules.conformer import _norm
+
+        def remask(y):
+            return y if nonpadding is None else y * nonpadding[:, :, None]
 
         for i in range(self.n_layers - 1):
             x = nn.Conv(self.n_chans, (self.kernel_size,), padding="SAME",
-                        use_bias=False, name=f"conv_{i}")(x)
+                        use_bias=False, name=f"conv_{i}")(remask(x))
             x = _norm(self.norm_type, f"norm_{i}")(x)
             x = jnp.tanh(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Conv(self.odim, (self.kernel_size,), padding="SAME",
-                    use_bias=False, name=f"conv_{self.n_layers - 1}")(x)
+                    use_bias=False,
+                    name=f"conv_{self.n_layers - 1}")(remask(x))
         x = _norm(self.norm_type, f"norm_{self.n_layers - 1}")(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
@@ -74,13 +83,19 @@ class A3T(nn.Module):
         norm_type = ("affine" if self.hp.get("espnet_bn_affine")
                      else "ln")
         self.hidden_size = h
+        # pad-safe serving (hp['serve_pad_safe_a3t'], default off — see
+        # __call__ docstring): adds no parameters, so checkpoints are
+        # interchangeable between the two modes
+        self.pad_safe = bool(self.hp.get("serve_pad_safe_a3t", False))
         self.txt_embed = TokenEmbedding(self.vocab_size, h, padding_idx=0)
         self.mel_embed = MelEncoder(hidden_size=h)
         self.seg_embed = TokenEmbedding(2000, h, padding_idx=0)
         self.encoder = ConformerLayers(h, num_layers=4, kernel_size=9,
-                                       norm_type=norm_type)
+                                       norm_type=norm_type,
+                                       pad_safe=self.pad_safe)
         self.a3t_decoder = ConformerLayers(h, num_layers=4, kernel_size=31,
-                                           norm_type=norm_type)
+                                           norm_type=norm_type,
+                                           pad_safe=self.pad_safe)
         self.a3t_postnet = Postnet(odim=self.out_dims, norm_type=norm_type)
         self.mel_out_decoder = nn.Dense(self.out_dims)
 
@@ -117,15 +132,38 @@ class A3T(nn.Module):
         pos_emb = jnp.concatenate([pe_mel, pe_txt], axis=0)[None]
         pos_emb = pos_emb * nonpadding[:, :, None]
 
-        enc = self.encoder(x, pos_emb, train=train)
-        dec = self.a3t_decoder(enc, pos_emb, train=train)
+        if self.pad_safe:
+            # pad-safe serving (hp['serve_pad_safe_a3t']): compact each
+            # row's valid positions to the front — [mel 0..T_i | text
+            # 0..S_i | padding] — so frame/token-bucket padding no longer
+            # sits BETWEEN the segments shifting mel<->text relative
+            # distances; pos rows travel with their tokens (per-segment
+            # restart indices are preserved), the conformer conv masks
+            # padded lanes, and attention evaluates the legacy rel-shift
+            # at each row's true length (modules/conformer.py). Valid mel
+            # positions are a prefix, so the gather is the identity there
+            # and the [:, :t_mel] truncation below still addresses them.
+            # At exact fit every gather is the identity and every mask is
+            # ones: the flag is a no-op (asserted in tests/test_serving.py).
+            order = jnp.argsort((nonpadding <= 0).astype(jnp.int32), axis=1,
+                                stable=True)
+            x = jnp.take_along_axis(x, order[:, :, None], axis=1)
+            pos_emb = jnp.take_along_axis(
+                jnp.broadcast_to(pos_emb, x.shape), order[:, :, None], axis=1)
+            nonpadding = jnp.take_along_axis(nonpadding, order, axis=1)
+
+        enc = self.encoder(x, pos_emb, nonpadding=nonpadding, train=train)
+        dec = self.a3t_decoder(enc, pos_emb, nonpadding=nonpadding,
+                               train=train)
         dec = dec[:, :t_mel] * mel_nonpadding[:, :, None]
         mel_out_decoder = self.mel_out_decoder(dec) * mel_nonpadding[:, :, None]
 
         mel_decoder = mels * (1 - time_mel_masks) + mel_out_decoder * time_mel_masks
         post_in = self.mel_embed(mel_decoder) * mel_nonpadding[:, :, None]
         mel_out_postnet = self.a3t_postnet(
-            post_in, train=train) * mel_nonpadding[:, :, None]
+            post_in, train=train,
+            nonpadding=mel_nonpadding if self.pad_safe else None
+        ) * mel_nonpadding[:, :, None]
         mel_out_postnet = mel_decoder + mel_out_postnet * time_mel_masks
 
         ret["mel_out_decoder"] = mel_out_decoder

@@ -107,56 +107,11 @@ def test_adaptive_tail_serving_results(serve_env):
 @pytest.fixture(scope="module")
 def serve_env(tmp_path_factory):
     """Tiny trained-from-init checkpoint + phone_set covering the g2p output
-    (same construction as tests/test_region_edit.py::edit_env)."""
-    import jax
+    (helpers.make_spec_denoiser_serve_env; nonzero biases so padding-
+    inertness assertions cannot pass trivially)."""
+    from tests.helpers import make_spec_denoiser_serve_env
 
-    from speech_editing_tpu.training.checkpoint import save_checkpoint
-    from speech_editing_tpu.training.optim import build_optimizer
-    from speech_editing_tpu.training.tasks.spec_denoiser import SpecDenoiserTask
-    from speech_editing_tpu.training.train_state import TrainState
-
-    tmp = tmp_path_factory.mktemp("serve")
-    data_dir = str(tmp / "binary")
-    work_dir = str(tmp / "work")
-    os.makedirs(data_dir, exist_ok=True)
-    os.makedirs(work_dir, exist_ok=True)
-
-    tp = get_txt_processor_cls("en")
-    texts = ["this is a test sentence", "this is a wonderful test sentence",
-             "this is a different test sentence",
-             "this is a very long wonderful test sentence indeed"]
-    phones = set()
-    for t in texts:
-        ph, *_ = txt_to_ph(tp, t)
-        phones.update(ph.split(" "))
-    json.dump(sorted(phones), open(f"{data_dir}/phone_set.json", "w"))
-
-    hp = dict(TINY_HP)
-    hp.update(binary_data_dir=data_dir, work_dir=work_dir, infer=True,
-              use_spk_embed=True, f0_min=80, f0_max=600, language="en",
-              vocoder="GriffinLim", seed=1234)
-    task = SpecDenoiserTask(hp)
-    model = task.build_model()
-    rng = np.random.RandomState(0)
-    t_frames, s_tok = 64, 10
-    batch = {
-        "txt_tokens": rng.randint(3, task.vocab_size, (1, s_tok)),
-        "time_mel_masks": np.zeros((1, t_frames), np.float32),
-        "mel2ph": np.clip(np.sort(rng.randint(1, s_tok, (1, t_frames))), 1, s_tok),
-        "mels": rng.randn(1, t_frames, 80).astype(np.float32),
-        "f0": rng.rand(1, t_frames).astype(np.float32),
-        "uv": np.zeros((1, t_frames), np.float32),
-        "spk_embed": np.zeros((1, 256), np.float32),
-    }
-    variables = task.init_model(model, batch, jax.random.PRNGKey(0))
-    tx = build_optimizer(hp)
-    # nonzero biases/LN offsets: at flax init every bias is zero, under
-    # which padded frames stay exactly zero through conv/norm stacks and
-    # the padding-inertness assertions below would pass trivially
-    from tests.helpers import perturb_biases
-    state = TrainState.create(perturb_biases(variables["params"]), tx)
-    save_checkpoint(work_dir, state, steps=1)
-    return hp
+    return make_spec_denoiser_serve_env(tmp_path_factory.mktemp("serve"))
 
 
 def _make_request(name, text, edited_text, region, edited_region, seed=0,
@@ -489,6 +444,42 @@ def test_inplace_serving_row_and_batch_invariance(inplace_env, task_path,
     else:
         np.testing.assert_allclose(padded["mel_out"], exact["mel_out"],
                                    atol=2e-5)
+
+
+def test_a3t_pad_safe_contract(inplace_env):
+    """hp['serve_pad_safe_a3t'] gives A3T the same padding-inertness
+    contract as its siblings (VERDICT r4 next#3): padding compacts to the
+    END of the joint mel+text sequence, the conformer conv masks padded
+    lanes, and the legacy rel-shift is evaluated at each row's true
+    length (models/a3t.py, modules/conformer.py). Asserts:
+
+    * exact fit: the flag is a no-op (same checkpoint, same output up to
+      the recompile-reassociation band);
+    * padded frame+token bucket: output == exact fit under the flag —
+      the assertion that FAILS without it (default A3T is structurally
+      bucket-dependent, see the invariance test above)."""
+    import speech_editing_tpu.infer.editors as editors
+
+    hp = inplace_env("speech_editing_tpu.training.tasks.a3t.A3TTask",
+                     "A3TInfer")
+    infer_off = editors.A3TInfer(hp)
+    infer_on = editors.A3TInfer(dict(hp, serve_pad_safe_a3t=True))
+    item = infer_off.preprocess_input(_make_request(**REQ_A))
+    t_fit, s_fit = len(item["mel"]), len(item[infer_off._token_field])
+
+    def serve(infer_ins, t_b, s_b):
+        return infer_ins.make_server(
+            infer_ins, max_batch=2, frame_buckets=(t_b,),
+            token_buckets=(s_b,)).edit_many([_make_request(**REQ_A)])[0]
+
+    exact_off = serve(infer_off, t_fit, s_fit)
+    exact_on = serve(infer_on, t_fit, s_fit)
+    np.testing.assert_allclose(exact_on["mel_out"], exact_off["mel_out"],
+                               atol=1e-5)  # no-op at exact fit
+
+    padded_on = serve(infer_on, t_fit + 16, s_fit + 8)
+    np.testing.assert_allclose(padded_on["mel_out"], exact_on["mel_out"],
+                               atol=2e-5)  # the sibling contract
 
 
 def test_inplace_example_run_serve_batched(inplace_env, tmp_path):
