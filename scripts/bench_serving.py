@@ -601,34 +601,42 @@ def run_online_virtual(args):
 
     # measure service times for every (t_b, mb) the traffic can hit
     t_bs = sorted({cfg._fb(int(f)) for f in frames_all})
-    rs = np.random.RandomState(0)
-    model, voc = build_programs(args.tiny)
-    ins1 = batch_inputs(rs, 1, 128)
-    variables = jax.jit(model.init)(
-        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
-        *ins1)
-    vparams = jax.jit(voc.init)(jax.random.PRNGKey(2), ins1[4])
-    model_k, voc_k, dur_k = (make_model_k(model), make_voc_k(voc),
-                             make_dur_k(model))
-    rng = jax.random.PRNGKey(3)
     svc_dur, svc_diff = {}, {}
-    for t_b in t_bs:
-        mb = cfg._mb(t_b)
-        ins = batch_inputs(rs, mb, t_b)
-        txt, mask, mel2ph, spk, ref, f0, uv = ins
-        print(f"| measuring T={t_b} B={mb}", file=sys.stderr, flush=True)
-        diff_s = _two_k_delta(
-            lambda k: model_k(variables, txt, mask, mel2ph, spk, ref, f0,
-                              uv, jax.random.fold_in(rng, t_b), k),
-            args.k1, args.k2)
-        voc_s = _two_k_delta(lambda k: voc_k(vparams, ref, rng, k),
-                             args.k1, args.k2)
-        mdur = jnp.asarray(np.ones((mb, S_TXT), np.int64))
-        dur_s = _two_k_delta(
-            lambda k: dur_k(variables, txt, mask, mel2ph, mdur, spk, k),
-            args.k1, args.k2)
-        svc_diff[(t_b, mb)] = diff_s + voc_s
-        svc_dur[(t_b, mb)] = dur_s
+    if args.fake_service_ms > 0:
+        # pure-scheduler validation mode: skip hardware measurement and
+        # charge every chunk a fixed cost (NEVER a reported number)
+        for t_b in t_bs:
+            mb = cfg._mb(t_b)
+            svc_diff[(t_b, mb)] = args.fake_service_ms / 1e3 * t_b / 512
+            svc_dur[(t_b, mb)] = args.fake_service_ms / 2e4
+    else:
+        rs = np.random.RandomState(0)
+        model, voc = build_programs(args.tiny)
+        ins1 = batch_inputs(rs, 1, 128)
+        variables = jax.jit(model.init)(
+            {"params": jax.random.PRNGKey(0),
+             "diffusion": jax.random.PRNGKey(1)}, *ins1)
+        vparams = jax.jit(voc.init)(jax.random.PRNGKey(2), ins1[4])
+        model_k, voc_k, dur_k = (make_model_k(model), make_voc_k(voc),
+                                 make_dur_k(model))
+        rng = jax.random.PRNGKey(3)
+        for t_b in t_bs:
+            mb = cfg._mb(t_b)
+            ins = batch_inputs(rs, mb, t_b)
+            txt, mask, mel2ph, spk, ref, f0, uv = ins
+            print(f"| measuring T={t_b} B={mb}", file=sys.stderr, flush=True)
+            diff_s = _two_k_delta(
+                lambda k: model_k(variables, txt, mask, mel2ph, spk, ref, f0,
+                                  uv, jax.random.fold_in(rng, t_b), k),
+                args.k1, args.k2)
+            voc_s = _two_k_delta(lambda k: voc_k(vparams, ref, rng, k),
+                                 args.k1, args.k2)
+            mdur = jnp.asarray(np.ones((mb, S_TXT), np.int64))
+            dur_s = _two_k_delta(
+                lambda k: dur_k(variables, txt, mask, mel2ph, mdur, spk, k),
+                args.k1, args.k2)
+            svc_diff[(t_b, mb)] = diff_s + voc_s
+            svc_dur[(t_b, mb)] = dur_s
 
     class _VClock:
         t = 0.0
@@ -746,6 +754,11 @@ def main():
                     action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model CPU smoke test (never a reported number)")
+    ap.add_argument("--fake-service-ms", dest="fake_service_ms", type=float,
+                    default=0.0,
+                    help="--virtual only: fixed fake chunk cost, validates "
+                         "the sim event loop without hardware (never a "
+                         "reported number)")
     args = ap.parse_args()
 
     import jax

@@ -286,6 +286,13 @@ def main():
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--model", default="spec_denoiser", choices=sorted(TASKS))
     ap.add_argument("--workdir", default="/tmp/e2e_acceptance")
+    ap.add_argument("--n-items", dest="n_items", type=int, default=24,
+                    help="corpus size (VERDICT r4 stretch#8: bigger corpus "
+                         "for the diffspeech full-chain probe)")
+    ap.add_argument("--diffspeech-full", dest="diffspeech_full",
+                    action="store_true",
+                    help="score diffspeech with full-chain synthesis MCD "
+                         "([G]/[P] wavs) instead of the denoise-MAE proxy")
     args = ap.parse_args()
 
     import yaml
@@ -296,7 +303,7 @@ def main():
     shutil.rmtree(wd, ignore_errors=True)
     os.makedirs(wd, exist_ok=True)
     data_dir = os.path.join(wd, "binary")
-    write_structured_corpus(data_dir)
+    write_structured_corpus(data_dir, n_items=args.n_items)
 
     hp = dict(TINY_HP)
     hp.update({
@@ -315,7 +322,8 @@ def main():
 
     is_predictor = args.model == "stutter_predictor"
     metric_name = ("val_focal" if is_predictor
-                   else "denoise_mae" if args.model == "diffspeech"
+                   else "denoise_mae" if (args.model == "diffspeech"
+                                          and not args.diffspeech_full)
                    else "mcd_full" if args.model in TTS_FAMILIES else "mcd")
     # thresholds: editing regenerates a masked span of a known utterance
     # (large gains expected); TTS synthesises the whole mel from text

@@ -171,8 +171,13 @@ class OnlineEditServer:
             if not q:
                 continue
             mb = self.server._mb(key[2])
-            due = force or len(q) >= mb or (now - q[0].t_submit
-                                            >= self.max_wait_s)
+            # deadline comparison uses the SAME float expression as
+            # _next_deadline (t_submit + max_wait): a sleeper that wakes
+            # exactly at the reported deadline must find the group due
+            # ((now - t) >= w can be false at now == t + w in floats,
+            # which spun the virtual-clock event loop forever)
+            due = force or len(q) >= mb or now >= (q[0].t_submit
+                                                   + self.max_wait_s)
             if due and (best_t is None or q[0].t_submit < best_t):
                 best_key, best_t = key, q[0].t_submit
         if best_key is None:
