@@ -441,8 +441,8 @@ def run_online_real(args):
             for i, f in enumerate(frames)]
 
     # warm exactly the (token, frame) pairs this traffic hits, plus the
-    # next frame bucket up (stage-2 lands at fb(t_new) which can cross a
-    # boundary when the edit lengthens the utterance)
+    # neighbouring frame buckets (stage-2 lands at fb(t_new), which can
+    # cross a boundary either way when the edit changes the length)
     pairs = set()
     for r in reqs:
         it = r["item"]
@@ -450,8 +450,11 @@ def run_online_real(args):
         t_b = server._fb(len(it["mel2ph"]))
         pairs.add((s_b, t_b))
         nxt = [b for b in server.frame_buckets if b > t_b]
+        prv = [b for b in server.frame_buckets if b < t_b]
         if nxt:
             pairs.add((s_b, nxt[0]))
+        if prv:
+            pairs.add((s_b, prv[-1]))
     t0 = _time.perf_counter()
     for s_b, t_b in sorted(pairs):
         print(f"| warmup S={s_b} T={t_b}", file=sys.stderr, flush=True)
@@ -602,6 +605,7 @@ def run_online_virtual(args):
     # measure service times for every (t_b, mb) the traffic can hit
     t_bs = sorted({cfg._fb(int(f)) for f in frames_all})
     svc_dur, svc_diff = {}, {}
+    dropped = []
     if args.fake_service_ms > 0:
         # pure-scheduler validation mode: skip hardware measurement and
         # charge every chunk a fixed cost (NEVER a reported number)
@@ -624,19 +628,39 @@ def run_online_virtual(args):
             mb = cfg._mb(t_b)
             ins = batch_inputs(rs, mb, t_b)
             txt, mask, mel2ph, spk, ref, f0, uv = ins
-            print(f"| measuring T={t_b} B={mb}", file=sys.stderr, flush=True)
-            diff_s = _two_k_delta(
-                lambda k: model_k(variables, txt, mask, mel2ph, spk, ref, f0,
-                                  uv, jax.random.fold_in(rng, t_b), k),
-                args.k1, args.k2)
-            voc_s = _two_k_delta(lambda k: voc_k(vparams, ref, rng, k),
-                                 args.k1, args.k2)
-            mdur = jnp.asarray(np.ones((mb, S_TXT), np.int64))
-            dur_s = _two_k_delta(
-                lambda k: dur_k(variables, txt, mask, mel2ph, mdur, spk, k),
-                args.k1, args.k2)
-            svc_diff[(t_b, mb)] = diff_s + voc_s
-            svc_dur[(t_b, mb)] = dur_s
+            for attempt in (1, 2, 3):  # transient axon remote-compile RPCs
+                print(f"| measuring T={t_b} B={mb} (attempt {attempt})",
+                      file=sys.stderr, flush=True)
+                try:
+                    diff_s = _two_k_delta(
+                        lambda k: model_k(variables, txt, mask, mel2ph, spk,
+                                          ref, f0, uv,
+                                          jax.random.fold_in(rng, t_b), k),
+                        args.k1, args.k2)
+                    voc_s = _two_k_delta(
+                        lambda k: voc_k(vparams, ref, rng, k),
+                        args.k1, args.k2)
+                    mdur = jnp.asarray(np.ones((mb, S_TXT), np.int64))
+                    dur_s = _two_k_delta(
+                        lambda k: dur_k(variables, txt, mask, mel2ph, mdur,
+                                        spk, k),
+                        args.k1, args.k2)
+                    svc_diff[(t_b, mb)] = diff_s + voc_s
+                    svc_dur[(t_b, mb)] = dur_s
+                    break
+                except Exception as e:
+                    print(f"| T={t_b} attempt {attempt} failed: "
+                          f"{type(e).__name__}: {str(e)[:160]}",
+                          file=sys.stderr, flush=True)
+            else:
+                dropped.append(t_b)
+        if dropped:
+            # no silent caps: drop that bucket's requests and SAY so
+            print(f"| DROPPING buckets {dropped} after 3 failed attempts",
+                  file=sys.stderr, flush=True)
+            keep = np.asarray([cfg._fb(int(f)) not in dropped
+                               for f in frames_all])
+            frames_all = frames_all[keep]
 
     class _VClock:
         t = 0.0
@@ -716,6 +740,7 @@ def run_online_virtual(args):
                  f"on-chip two-K service times, max_wait="
                  f"{args.max_wait_ms}ms, merge={args.merge_token_tails})"),
         "curve": curve,
+        "dropped_buckets": dropped,
         "service_times_ms": {
             f"T{t}xB{b}": {"dur": round(svc_dur[(t, b)] * 1e3, 2),
                            "diff+voc": round(svc_diff[(t, b)] * 1e3, 2)}
