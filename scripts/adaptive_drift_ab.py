@@ -34,10 +34,18 @@ def main():
     ap.add_argument("--max-batch", dest="max_batch", type=int, default=16)
     ap.add_argument("--tail", type=int, default=3,
                     help="tail size (pow2ceil(tail) != max_batch required)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend at config level (the env "
+                         "var is overridden by the axon plugin)")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        # config-level forcing: the axon plugin overrides the
+        # JAX_PLATFORMS env var, so only this works (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
 
     from speech_editing_tpu.infer.serving import BatchedEditServer, _pow2ceil
     from speech_editing_tpu.utils.os_utils import cpu_keyed_cache_dir

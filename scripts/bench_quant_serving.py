@@ -109,10 +109,18 @@ def main():
     ap.add_argument("--batches", default="1,16")
     ap.add_argument("--k1", type=int, default=4)
     ap.add_argument("--k2", type=int, default=24)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend at config level (the env "
+                         "var is overridden by the axon plugin)")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        # config-level forcing: the axon plugin overrides the
+        # JAX_PLATFORMS env var, so only this works (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from speech_editing_tpu.infer.quant import (max_quant_error,
@@ -132,6 +140,23 @@ def main():
         {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
         *ins1)
     vparams = jax.jit(voc.init)(jax.random.PRNGKey(2), ins1[4])
+
+    # perturb EVERY float leaf: DiffNet's output head is zero-initialised
+    # (x0 prediction ≡ 0 at init), which would make the int8-vs-fp32 mel
+    # delta degenerately 0; timings are unaffected by weight values
+    def _perturb(tree, seed):
+        prs = np.random.RandomState(seed)
+
+        def p(x):
+            a = np.asarray(x)
+            if np.issubdtype(a.dtype, np.floating):
+                return a + prs.randn(*a.shape).astype(a.dtype) * 0.02
+            return a
+
+        return jax.tree.map(p, tree)
+
+    variables = _perturb(variables, 1)
+    vparams = _perturb(vparams, 2)
     serve_fp = make_serve_k(model, voc)
     serve_q = make_serve_k_q(model, voc)
 
@@ -144,11 +169,21 @@ def main():
     vars_bf = cast_tree(variables, jnp.bfloat16)
     vparams_bf = cast_tree(vparams, jnp.bfloat16)
 
-    # numeric cost: one invocation each on identical inputs/keys (k=1)
+    # numeric cost: one MEL-level invocation on identical inputs/keys
+    # (wav magnitudes at random vocoder init are ~1e-8 — meaningless)
+    from speech_editing_tpu.infer.quant import dequantize_tree
+
     rng = jax.random.PRNGKey(3)
-    wav_fp = np.asarray(serve_fp(variables, vparams, *ins1, rng, 1))
-    wav_q = np.asarray(serve_q(qvars, vqs, *ins1, rng, 1))
-    wav_delta = float(np.abs(wav_fp - wav_q).max())
+    # arrays pass as ARGUMENTS — device-array closures poison the axon
+    # process (CLAUDE.md)
+    infer_once = jax.jit(lambda v, txt, mask, m2p, spk, ref, f0, uv, r:
+                         model.apply(v, txt, mask, m2p, spk, ref, f0, uv,
+                                     infer=True, use_pred_pitch=True,
+                                     rng=r)["mel_out"])
+    mel_fp = np.asarray(infer_once(variables, *ins1, rng))
+    mel_q = np.asarray(infer_once(jax.jit(dequantize_tree)(qvars),
+                                  *ins1, rng))
+    mel_delta = float(np.abs(mel_fp - mel_q).max())
 
     rows = {}
     for b in [int(x) for x in args.batches.split(",")]:
@@ -179,7 +214,7 @@ def main():
         "max_weight_quant_err": round(qerr, 6),
         "param_bytes_fp32": bytes_fp,
         "param_bytes_int8": bytes_q,
-        "wav_max_abs_delta_int8_vs_fp32": round(wav_delta, 6),
+        "mel_max_abs_delta_int8_vs_fp32": round(mel_delta, 6),
     }))
 
 

@@ -777,6 +777,9 @@ def main():
                     default=100.0)
     ap.add_argument("--merge-token-tails", dest="merge_token_tails",
                     action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend at config level (the env "
+                         "var is overridden by the axon plugin)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model CPU smoke test (never a reported number)")
     ap.add_argument("--fake-service-ms", dest="fake_service_ms", type=float,
@@ -787,6 +790,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        # config-level forcing: the axon plugin overrides the
+        # JAX_PLATFORMS env var, so only this works (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
 
     from speech_editing_tpu.utils.os_utils import cpu_keyed_cache_dir
 
