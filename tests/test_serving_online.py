@@ -195,6 +195,46 @@ def test_close_flushes_queued_requests():
     assert f.result(0)["name"] == "a"
 
 
+def test_chunk_failure_propagates_to_futures_only():
+    """A device-program failure fails THAT chunk's futures; the server
+    keeps serving later chunks."""
+
+    class FlakyServer(StubServer):
+        def online_run(self, stage, s_b, t_b, reqs, b_eff):
+            if any(r.inp["name"] == "bad" for r in reqs):
+                raise RuntimeError("boom")
+            super().online_run(stage, s_b, t_b, reqs, b_eff)
+
+    stub, clk = FlakyServer(max_batch=1), VClock()
+    srv = _srv(stub, clk)
+    f_bad = srv.submit(_mk("bad"))
+    f_ok = srv.submit(_mk("ok"))
+    srv.drain()
+    assert f_ok.result(0)["name"] == "ok"
+    with pytest.raises(RuntimeError, match="boom"):
+        f_bad.result(0)
+
+
+def test_submit_after_close_fails_fast():
+    stub = StubServer(max_batch=4)
+    srv = OnlineEditServer(stub, max_wait_ms=5)
+    srv.close()
+    f = srv.submit(_mk("late"))
+    with pytest.raises(RuntimeError, match="closed"):
+        f.result(0)
+
+
+def test_preprocess_failure_surfaces_on_future():
+    class BadPrep(StubServer):
+        def online_prepare(self, inp, seed):
+            raise ValueError("bad request")
+
+    srv = _srv(BadPrep(), VClock())
+    f = srv.submit(_mk("x"))
+    with pytest.raises(ValueError, match="bad request"):
+        f.result(0)
+
+
 def test_plan_chunks_merges_token_tails():
     from types import SimpleNamespace
 
