@@ -1,0 +1,153 @@
+"""Online region-edit server CLI.
+
+``python -m speech_editing_tpu.infer.serve --config egs/spec_denoiser.yaml
+--exp_name spec_denoiser [--jsonl requests.jsonl | --csv example.csv]
+[--warmup] [--max-wait-ms 100] [--out-dir serve_out]``
+
+An actual serving surface over ``infer/online.py``: requests stream in
+(JSONL on stdin/file — one request per line, submitted the moment it is
+read — or a CSV batch), the deadline scheduler batches device work, and
+results are written as they complete with per-request queue-inclusive
+latency on stderr. ``--warmup`` precompiles every configured
+(program, batch, bucket) shape before accepting traffic.
+
+Request schema (JSONL object / CSV row):
+``item_name, text, edited_text, region, edited_region, wav_fn_orig``
+(+ optional precomputed ``mel2ph`` list when no MFA is installed; without
+it the MFA TextGrid path of the per-item driver applies).
+
+Reference contrast: the reference's only serving surface is a blocking
+per-item CSV loop (``inference/tts/spec_denoiser.py:247-352``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+
+def _load_request(row: dict, hp) -> dict:
+    from speech_editing_tpu.utils.audio.dsp import wav2spec
+
+    res = wav2spec(row["wav_fn_orig"],
+                   sample_rate=hp["audio_sample_rate"],
+                   fft_size=hp["fft_size"], hop_size=hp["hop_size"],
+                   win_length=hp.get("win_size", hp["fft_size"]),
+                   num_mels=hp["audio_num_mel_bins"],
+                   fmin=hp["fmin"], fmax=hp["fmax"])
+    inp = dict(row)
+    if isinstance(inp.get("mel2ph"), (list, str)):
+        m2p = inp["mel2ph"]
+        inp["mel2ph"] = np.asarray(
+            json.loads(m2p) if isinstance(m2p, str) else m2p, np.int64)
+    inp.update(mel=res["mel"], wav=res["wav"])
+    return inp
+
+
+def iter_jsonl(fp):
+    for line in fp:
+        line = line.strip()
+        if line:
+            yield json.loads(line)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="online region-edit server (continuous batching)")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--exp_name", required=True)
+    ap.add_argument("--jsonl", default=None,
+                    help="JSONL request stream ('-' = stdin); each line "
+                         "submits immediately")
+    ap.add_argument("--csv", default=None, help="CSV batch of requests")
+    ap.add_argument("--out-dir", dest="out_dir", default="serve_out")
+    ap.add_argument("--max-wait-ms", dest="max_wait_ms", type=float,
+                    default=100.0)
+    ap.add_argument("--max-batch", dest="max_batch", type=int, default=16)
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile all bucket programs before traffic")
+    ap.add_argument("--hparams", default="",
+                    help="extra dotted overrides, as run.py")
+    args = ap.parse_args(argv)
+
+    from speech_editing_tpu.config.hparams import set_hparams
+    from speech_editing_tpu.infer.online import OnlineEditServer
+    from speech_editing_tpu.infer.spec_denoiser import SpecDenoiserInfer
+
+    hp = set_hparams(argv=["--config", args.config, "--exp_name",
+                           args.exp_name, "--infer"]
+                     + (["--hparams", args.hparams] if args.hparams else []))
+
+    task_cls = str(hp.get("task_cls", "")).lower()
+    if any(k in task_cls for k in ("campnet", "a3t", "editspeech")):
+        from speech_editing_tpu.infer.editors import infer_cls_for_hp
+
+        infer_ins = infer_cls_for_hp(hp)(hp)
+    else:
+        infer_ins = SpecDenoiserInfer(hp)
+    server = infer_ins.make_server(infer_ins, max_batch=args.max_batch)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    srv = OnlineEditServer(server, max_wait_ms=args.max_wait_ms)
+    if args.warmup:
+        t0 = time.perf_counter()
+        n = srv.warmup(verbose=True)
+        print(f"| warmup: {n} program shapes in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+
+    from speech_editing_tpu.utils.audio.io import save_wav
+
+    lock = threading.Lock()
+    done = []
+
+    def finish(name, fut):
+        try:
+            r = fut.result()
+        except Exception as e:  # pragma: no cover - surfaced per request
+            print(f"| {name}: FAILED {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            return
+        path = os.path.join(args.out_dir, f"{name}.wav")
+        save_wav(r["wav_out"], path, hp["audio_sample_rate"])
+        with lock:
+            done.append((name, fut.latency_s))
+        print(f"| {name}: {r['t_frames']} frames -> {path} "
+              f"(latency {fut.latency_s * 1e3:.0f} ms)", file=sys.stderr,
+              flush=True)
+
+    if args.csv:
+        from speech_editing_tpu.infer.spec_denoiser import load_dataset_info
+
+        rows = load_dataset_info(args.csv)
+    elif args.jsonl:
+        rows = iter_jsonl(sys.stdin if args.jsonl == "-"
+                          else open(args.jsonl))
+    else:
+        ap.error("one of --jsonl / --csv is required")
+
+    waiters = []
+    for row in rows:
+        inp = _load_request(row, hp)
+        fut = srv.submit(inp)
+        th = threading.Thread(target=finish,
+                              args=(row["item_name"], fut), daemon=True)
+        th.start()
+        waiters.append(th)
+    srv.close()  # drains
+    for th in waiters:
+        th.join(timeout=600)
+    if done:
+        lat = np.asarray([d[1] for d in done]) * 1e3
+        print(f"| served {len(done)} requests: latency p50 "
+              f"{np.percentile(lat, 50):.0f} ms / p99 "
+              f"{np.percentile(lat, 99):.0f} ms", file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,9 @@ Two layers of coverage:
   log — jit caches by shape, so no new shapes == no new compiles).
 """
 
+import json
+import os
+
 import numpy as np
 import pytest
 
@@ -336,6 +339,55 @@ def test_warmup_covers_all_traffic_shapes(online_infer):
     assert not missing, f"traffic shapes not covered by warmup: {missing}"
     # idempotent: a second warmup adds no shapes (all programs cached)
     assert warmed.warmup() == 0
+
+
+def test_serve_cli_jsonl(online_env, tmp_path):
+    """`python -m speech_editing_tpu.infer.serve` streams JSONL requests
+    through the online engine and writes result wavs + latency lines."""
+    import yaml
+
+    from speech_editing_tpu.infer.serve import main as serve_main
+    from speech_editing_tpu.utils.audio.io import save_wav
+    from speech_editing_tpu.utils.text.processors import (get_txt_processor_cls,
+                                                          txt_to_ph)
+
+    sr, hop, n_frames = 22050, 256, 40
+    wav = (0.3 * np.sin(2 * np.pi * 150 *
+                        np.arange(n_frames * hop) / sr)).astype(np.float32)
+    wav_fn = str(tmp_path / "src.wav")
+    save_wav(wav, wav_fn, sr)
+    tp = get_txt_processor_cls("en")
+    ph, *_ = txt_to_ph(tp, "this is a test sentence")
+    s = len(ph.split(" "))
+    t_max = n_frames + 8
+    mel2ph = [int(x) for x in
+              np.minimum(np.arange(t_max) * s // t_max + 1, s)]
+
+    # config: the work-dir root + every env hp (set_hparams re-derives
+    # work_dir as <work_dir_root>/<exp_name>)
+    cfg = {k: v for k, v in dict(online_env).items()
+           if isinstance(v, (int, float, str, bool, list, dict))}
+    root, exp = (os.path.dirname(online_env["work_dir"]),
+                 os.path.basename(online_env["work_dir"]))
+    cfg["work_dir_root"] = root
+    cfg_fn = str(tmp_path / "cfg.yaml")
+    yaml.safe_dump(cfg, open(cfg_fn, "w"))
+
+    reqs = [{"item_name": f"srv_{i}", "text": "this is a test sentence",
+             "edited_text": "this is a wonderful test sentence",
+             "region": "[3,4]", "edited_region": "[3,5]",
+             "wav_fn_orig": wav_fn, "mel2ph": mel2ph} for i in range(2)]
+    req_fn = str(tmp_path / "reqs.jsonl")
+    with open(req_fn, "w") as f:
+        for r in reqs:
+            f.write(json.dumps(r) + "\n")
+
+    out_dir = str(tmp_path / "out")
+    serve_main(["--config", cfg_fn, "--exp_name", exp, "--jsonl", req_fn,
+                "--out-dir", out_dir, "--max-wait-ms", "20",
+                "--max-batch", "2"])
+    for i in range(2):
+        assert os.path.exists(f"{out_dir}/srv_{i}.wav")
 
 
 def test_warmup_inplace_server(online_env, tmp_path_factory):
