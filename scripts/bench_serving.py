@@ -462,7 +462,8 @@ def run_online_real(args):
     warmup_s = _time.perf_counter() - t0
     shapes_warm = set(server.program_shapes)
 
-    srv = OnlineEditServer(server, max_wait_ms=args.max_wait_ms)
+    srv = OnlineEditServer(server, max_wait_ms=args.max_wait_ms,
+                           workers=args.workers)
     t_start = _time.monotonic()
     futures = []
     for i, req in enumerate(reqs):
@@ -497,6 +498,7 @@ def run_online_real(args):
         "compiles_after_warmup": len(new_shapes),
         "adaptive_tail": bool(args.adaptive_tail),
         "merge_token_tails": bool(args.merge_token_tails),
+        "workers": args.workers,
     }))
 
 
@@ -777,6 +779,9 @@ def main():
                     default=100.0)
     ap.add_argument("--merge-token-tails", dest="merge_token_tails",
                     action="store_true")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="scheduler threads (2 overlaps fetch with the "
+                         "next dispatch — hides the tunnel RTT)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend at config level (the env "
                          "var is overridden by the axon plugin)")

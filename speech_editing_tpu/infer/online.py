@@ -105,20 +105,32 @@ class OnlineEditServer:
     clock:
         Monotonic-seconds callable; injectable for virtual-time tests.
     start:
-        Launch the background scheduler thread. With ``start=False`` the
-        caller drives ``poll_once`` / ``drain`` manually.
+        Launch the background scheduler thread(s). With ``start=False``
+        the caller drives ``poll_once`` / ``drain`` manually.
     merge_token_tails:
         Override the server's cross-token-bucket packing flag for
         scheduler launches (None = inherit).
+    workers:
+        Number of scheduler threads. One chip executes one XLA program at
+        a time, but a chunk's wall time also contains host work (padding
+        stacks, splicing) and the device->host result fetch — through
+        the axon tunnel the fetch alone is a ~40 ms round trip per
+        program. With ``workers=2`` the second thread dispatches the
+        next chunk while the first blocks on its fetch, so host time and
+        transfer latency overlap device compute. Chunk picking stays
+        serialized under the lock and requests are per-row keyed, so
+        results are unchanged — only completion ORDER can interleave.
     """
 
     def __init__(self, server, max_wait_ms: float = 50.0,
                  clock: Optional[Callable[[], float]] = None,
                  start: bool = True,
-                 merge_token_tails: Optional[bool] = None):
+                 merge_token_tails: Optional[bool] = None,
+                 workers: int = 1):
         self.server = server
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.clock = clock or time.monotonic
+        self.workers = max(1, int(workers))
         self.merge_token_tails = (server.merge_token_tails
                                   if merge_token_tails is None
                                   else bool(merge_token_tails))
@@ -130,7 +142,7 @@ class OnlineEditServer:
         self._queues: Dict[Tuple[str, int, int], List[_Entry]] = {}
         self._n_queued = 0
         self._stopping = False
-        self._thread: Optional[threading.Thread] = None
+        self._threads: List[threading.Thread] = []
         if start:
             self.start()
 
@@ -278,11 +290,13 @@ class OnlineEditServer:
                     self._cv.wait(timeout=min(wait, 1.0))
 
     def start(self) -> None:
-        if self._thread is None:
-            self._thread = threading.Thread(
-                target=self._drain_safe_loop, name="online-edit-scheduler",
-                daemon=True)
-            self._thread.start()
+        if not self._threads:
+            for i in range(self.workers):
+                th = threading.Thread(
+                    target=self._drain_safe_loop,
+                    name=f"online-edit-scheduler-{i}", daemon=True)
+                th.start()
+                self._threads.append(th)
 
     def _drain_safe_loop(self) -> None:
         self._loop()
@@ -302,9 +316,9 @@ class OnlineEditServer:
         with self._cv:
             self._stopping = True
             self._cv.notify_all()
-        if self._thread is not None:
-            self._thread.join()
-            self._thread = None
+        for th in self._threads:
+            th.join()
+        self._threads = []
         if drain:
             self.drain()
         else:

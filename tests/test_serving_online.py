@@ -190,6 +190,29 @@ def test_threaded_stub_roundtrip():
     assert time.monotonic() - t0 < 10
 
 
+def test_two_workers_serve_all_and_results_match():
+    """workers=2 overlaps chunk runs across threads; every future still
+    resolves with its own request's result (per-row keyed, no cross-chunk
+    state)."""
+    import time
+
+    class SlowServer(StubServer):
+        def online_run(self, stage, s_b, t_b, reqs, b_eff):
+            time.sleep(0.02)  # emulate a device fetch the 2nd thread hides
+            super().online_run(stage, s_b, t_b, reqs, b_eff)
+
+    stub = SlowServer(max_batch=2)
+    srv = OnlineEditServer(stub, max_wait_ms=5, workers=2)
+    try:
+        fs = [srv.submit(_mk(f"w{i}", t_b=128 + (i % 2))) for i in range(12)]
+        for i, f in enumerate(fs):
+            assert f.result(timeout=10)["name"] == f"w{i}"
+    finally:
+        srv.close()
+    served = sorted(n for c in stub.calls for n in c[3])
+    assert served == sorted(f"w{i}" for i in range(12))
+
+
 def test_close_flushes_queued_requests():
     stub = StubServer(max_batch=8)
     srv = OnlineEditServer(stub, max_wait_ms=10_000)  # deadline never fires
