@@ -244,8 +244,9 @@ class _ServerBase:
         return plan
 
     def _record(self, program: str, *arrays) -> None:
+        # .shape/.dtype only — np.asarray on a jax array would TRANSFER it
         self.program_shapes.add(
-            (program, tuple((tuple(a.shape), str(np.asarray(a).dtype))
+            (program, tuple((tuple(a.shape), str(a.dtype))
                             for a in arrays)))
 
     def _vocode(self, comp: np.ndarray, n_real: int) -> np.ndarray:
@@ -412,9 +413,24 @@ class BatchedEditServer(_ServerBase):
             self.infer.variables, jnp.asarray(txt), jnp.asarray(tm),
             jnp.asarray(m2p), jnp.asarray(spk), jnp.asarray(ref),
             jnp.asarray(f0), jnp.asarray(uv), keys)
-        mel_out = np.asarray(out["mel_out"], np.float32)
-        comp = mel_out * tm + ref * (1 - tm)
-        wavs = self._vocode(comp, len(reqs))
+        if getattr(self.infer.vocoder, "device_batched", False):
+            # composite ON DEVICE and chain straight into the vocoder —
+            # the mel never takes a serialized round trip through the
+            # host before vocoding (elementwise mul/add are IEEE
+            # exact-rounded, so this is bit-identical to the numpy
+            # composite; asserted against the per-item driver in
+            # tests/test_serving.py). The comp fetch below overlaps the
+            # vocoder's device execution.
+            tm_d, ref_d = jnp.asarray(tm), jnp.asarray(ref)
+            comp_dev = out["mel_out"].astype(jnp.float32) * tm_d \
+                + ref_d * (1 - tm_d)
+            self._record("vocoder", comp_dev)
+            wavs = self.infer.vocoder.spec2wav_batch(comp_dev)
+            comp = np.asarray(comp_dev, np.float32)
+        else:
+            mel_out = np.asarray(out["mel_out"], np.float32)
+            comp = mel_out * tm + ref * (1 - tm)
+            wavs = self._vocode(comp, len(reqs))
         hop = int(self.hp["hop_size"])
         for i, r in enumerate(reqs):
             t_new = r.splice["t_new"]
