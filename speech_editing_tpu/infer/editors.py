@@ -22,9 +22,12 @@ class _InPlaceEditInfer(SpecDenoiserInfer):
 
     Subclasses implement ``_model_mel_out_batch`` — a BATCHED device
     forward with the uniform signature (txt, mels, mel2ph, tm, spk, f0,
-    uv), each ``[B, ...]``, returning the predicted mel ``[B, T, 80]`` —
-    used both by the per-item path below (B=1) and by the batched serving
-    engine (``infer.serving.BatchedInPlaceEditServer``)."""
+    uv), each ``[B, ...]``, returning the predicted mel ``[B, T, 80]``
+    as a DEVICE array (the serving engine composites on device and
+    chains it into a device vocoder without a host round trip; host
+    consumers ``np.asarray`` it) — used both by the per-item path below
+    (B=1) and by the batched serving engine
+    (``infer.serving.BatchedInPlaceEditServer``)."""
 
     # token sequence driving the model (in-place models keep the original
     # frame grid; CampNet conditions on the EDITED phonemes)
@@ -46,10 +49,10 @@ class _InPlaceEditInfer(SpecDenoiserInfer):
         raise NotImplementedError
 
     def _model_mel_out(self, item, tm, spk_embed):
-        return self._model_mel_out_batch(
+        return np.asarray(self._model_mel_out_batch(
             item[self._token_field][None], item["mel"][None],
             item["mel2ph"][None], tm[None], spk_embed,
-            item["f0"][None], item["uv"][None])[0]
+            item["f0"][None], item["uv"][None]), np.float32)[0]
 
     def forward_model(self, item):
         tm = self._frame_mask(item)[:, None]  # [T, 1]
@@ -83,7 +86,7 @@ class CampNetInfer(_InPlaceEditInfer):
 
         out = self._infer(self.variables, jnp.asarray(txt),
                           jnp.asarray(mels), jnp.asarray(tm))
-        return np.asarray(out["mel_out_fine"], np.float32)
+        return out["mel_out_fine"]
 
 
 class A3TInfer(_InPlaceEditInfer):
@@ -106,7 +109,7 @@ class A3TInfer(_InPlaceEditInfer):
         out = self._infer(self.variables, jnp.asarray(txt),
                           jnp.asarray(mels), jnp.asarray(mel2ph),
                           jnp.asarray(tm))
-        return np.asarray(out["mel_out_postnet"], np.float32)
+        return out["mel_out_postnet"]
 
 
 class EditSpeechInfer(_InPlaceEditInfer):
@@ -132,10 +135,9 @@ class EditSpeechInfer(_InPlaceEditInfer):
                           jnp.asarray(tm), jnp.asarray(mel2ph),
                           jnp.asarray(spk), jnp.asarray(mels),
                           jnp.asarray(f0), jnp.asarray(uv))
-        fused = bidirectional_fusion(
+        return bidirectional_fusion(
             out["forward_outputs"], out["backward_outputs"],
             jnp.asarray(mels), jnp.asarray(tm))
-        return np.asarray(fused, np.float32)
 
 
 INFER_BY_TASK = {

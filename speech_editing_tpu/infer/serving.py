@@ -622,8 +622,20 @@ class BatchedInPlaceEditServer(_ServerBase):
         self._record("fwd", txt, mels, m2p, tm, spk, f0, uv)
         mel_out = self.infer._model_mel_out_batch(
             txt, mels, m2p, tm, spk, f0, uv)
-        comp = mel_out * tm + mels * (1 - tm)
-        wavs = self._vocode(comp, len(reqs))
+        if getattr(self.infer.vocoder, "device_batched", False):
+            # device composite chained into the device vocoder — see
+            # BatchedEditServer.run_diff_chunk (bit-identical elementwise)
+            import jax.numpy as jnp
+
+            tm_d, mels_d = jnp.asarray(tm), jnp.asarray(mels)
+            comp_dev = jnp.asarray(mel_out, jnp.float32) * tm_d \
+                + mels_d * (1 - tm_d)
+            self._record("vocoder", comp_dev)
+            wavs = self.infer.vocoder.spec2wav_batch(comp_dev)
+            comp = np.asarray(comp_dev, np.float32)
+        else:
+            comp = np.asarray(mel_out, np.float32) * tm + mels * (1 - tm)
+            wavs = self._vocode(comp, len(reqs))
         hop = int(self.hp["hop_size"])
         for i, r in enumerate(reqs):
             t_i = len(r.item["mel"])
