@@ -80,6 +80,9 @@ def main():
         hp = yaml.safe_load(open(os.path.join(wd, "cfg.yaml")))
 
     import jax
+
+    if os.environ.get("SE_TPU_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")  # plugin overrides env
     import jax.numpy as jnp
 
     from speech_editing_tpu.data.indexed_dataset import IndexedDataset
@@ -98,10 +101,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     data_dir = hp["binary_data_dir"]
-    import json as _json
-
-    vocab = len(_json.load(open(os.path.join(data_dir,
-                                             "phone_set.json")))) + 3
+    # the structured corpus carries no phone_set.json; the task falls back
+    # to hp['vocab_size'] (default 100) — match it so the checkpoint fits
+    vocab = int(hp.get("vocab_size", 100))
     model = build_model(vocab, hp)
     ckpt_path, steps = get_last_checkpoint(ckpt_dir)
     state = load_checkpoint(ckpt_path)["state"]
