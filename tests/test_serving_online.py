@@ -342,6 +342,49 @@ def test_online_threaded_real_model(online_infer):
         assert len(r["wav_out"]) == r["t_frames"] * online_infer.hp["hop_size"]
 
 
+def test_online_merge_across_token_buckets_real_model(online_infer):
+    """Cross-token-bucket packing with the REAL model: a deadline flush
+    merges a short-text and a long-text request (different token buckets,
+    same frame bucket) into one chunk at the larger token bucket; the
+    short request's result matches serving it alone up to the documented
+    token-padding-inertness band."""
+    from tests.test_serving import REQ_A, _make_request
+    from speech_editing_tpu.infer.serving import BatchedEditServer
+
+    req_long = dict(
+        name="long", text="this is a test sentence",
+        edited_text="this is a very long wonderful test sentence indeed",
+        region="[3,4]", edited_region="[3,8]", seed=5)
+    infer = online_infer
+    item_a = infer.preprocess_input(_make_request(**REQ_A))
+    item_l = infer.preprocess_input(_make_request(**req_long))
+    s_a = len(item_a["edited_ph_token"])
+    s_l = len(item_l["edited_ph_token"])
+    assert s_a < s_l  # distinct token buckets below
+
+    kw = dict(max_batch=2, frame_buckets=(64, 128),
+              token_buckets=(s_a, s_l))
+    alone = BatchedEditServer(infer, **kw).edit_many(
+        [_make_request(**REQ_A)], seed=7)[0]
+
+    clk = VClock()
+    srv = OnlineEditServer(BatchedEditServer(infer, **kw), max_wait_ms=50,
+                           clock=clk.now, start=False,
+                           merge_token_tails=True)
+    f_a = srv.submit(_make_request(**REQ_A), seed=7)
+    f_l = srv.submit(_make_request(**req_long), seed=7)
+    clk.t = 0.1
+    srv.drain()
+    # the dur stage merged for sure (both share fb(T0)); the diff stage
+    # merges too unless the two edits land in different frame buckets
+    first = srv.launches[0]
+    assert first[0] == "dur" and first[3] == 2 and first[5] == 1
+    assert first[1] == srv.server._tb(s_l)  # ran at the larger bucket
+    np.testing.assert_allclose(f_a.result(0)["mel_out"], alone["mel_out"],
+                               atol=2e-5)
+    assert np.isfinite(f_l.result(0)["mel_out"]).all()
+
+
 def test_warmup_covers_all_traffic_shapes(online_infer):
     """Zero compiles during a warmed run: every program shape the traffic
     produces is already in a warmed server's shape log (jit caches by
