@@ -695,17 +695,17 @@ def run_online_virtual(args):
                 else:
                     r.result = {"t_frames": t_b}
 
-    curve = []
-    for rate in rates:
+    def sim_rate(rate: float, merge: bool) -> dict:
         n = max(64, int(rate * args.duration)) if args.duration else \
             args.n_requests
         frames = frames_all[:n]
         t_arr = np.cumsum(
             np.random.RandomState(args.seed + 1).exponential(1.0 / rate, n))
         clk = _VClock()
-        sim = SimPipeline(clk)
-        srv = OnlineEditServer(sim, max_wait_ms=args.max_wait_ms,
-                               clock=lambda: clk.t, start=False)
+        srv = OnlineEditServer(SimPipeline(clk),
+                               max_wait_ms=args.max_wait_ms,
+                               clock=lambda: clk.t, start=False,
+                               merge_token_tails=merge)
         futs, i = [], 0
         while i < n or srv._n_queued:
             while i < n and t_arr[i] <= clk.t + 1e-12:
@@ -724,24 +724,34 @@ def run_online_virtual(args):
         fill = n_real / max(sum(l[4] for l in srv.launches), 1)
         busy = sum((svc_dur if l[0] == "dur" else svc_diff)[(l[2], l[4])]
                    for l in srv.launches)
-        wall = clk.t - 0.0
-        curve.append({
+        wall = clk.t
+        return {
             "rate": rate, "n": n,
             "throughput": round(n / max(wall, 1e-9), 2),
             "latency_ms": _latency_summary(lat),
             "chunk_fill": round(fill, 3),
             "utilization": round(busy / max(wall, 1e-9), 3),
             "n_merged_requests": sum(l[5] for l in srv.launches),
-        })
-        print(f"| rate={rate}: {curve[-1]}", file=sys.stderr, flush=True)
+        }
+
+    # once service times are measured, sims are free — A/B the
+    # cross-token-bucket packing lever from the SAME measurements
+    curves = {}
+    for merge in (True, False):
+        key = "merge_on" if merge else "merge_off"
+        curves[key] = [sim_rate(r, merge) for r in rates]
+        for row in curves[key]:
+            print(f"| {key} rate={row['rate']}: {row}", file=sys.stderr,
+                  flush=True)
+    main_curve = curves["merge_on"]
 
     print(json.dumps({
         "metric": "serving_online_latency_curve",
-        "value": curve[-1]["latency_ms"]["p99"],
-        "unit": (f"p99 ms at rate={rates[-1]}/s (virtual clock over "
-                 f"on-chip two-K service times, max_wait="
-                 f"{args.max_wait_ms}ms, merge={args.merge_token_tails})"),
-        "curve": curve,
+        "value": main_curve[-1]["latency_ms"]["p99"],
+        "unit": (f"p99 ms at rate={rates[-1]}/s, merge on (virtual clock "
+                 f"over on-chip two-K service times, max_wait="
+                 f"{args.max_wait_ms}ms)"),
+        "curves": curves,
         "dropped_buckets": dropped,
         "service_times_ms": {
             f"T{t}xB{b}": {"dur": round(svc_dur[(t, b)] * 1e3, 2),
