@@ -456,9 +456,8 @@ def run_online_real(args):
         if prv:
             pairs.add((s_b, prv[-1]))
     t0 = _time.perf_counter()
-    for s_b, t_b in sorted(pairs):
-        print(f"| warmup S={s_b} T={t_b}", file=sys.stderr, flush=True)
-        server.warmup(frame_buckets=[t_b], token_buckets=[s_b])
+    print(f"| warmup pairs: {sorted(pairs)}", file=sys.stderr, flush=True)
+    server.warmup(pairs=sorted(pairs), verbose=True)
     warmup_s = _time.perf_counter() - t0
     shapes_warm = set(server.program_shapes)
 

@@ -274,6 +274,7 @@ class _ServerBase:
     def warmup(self, frame_buckets: Optional[Sequence[int]] = None,
                token_buckets: Optional[Sequence[int]] = None,
                batches: Optional[Sequence[int]] = None,
+               pairs: Optional[Sequence[Tuple[int, int]]] = None,
                verbose: bool = False) -> int:
         """Compile every (program, batch, bucket) shape ahead of traffic.
 
@@ -281,24 +282,32 @@ class _ServerBase:
         inputs at every combination of ``frame_buckets x token_buckets x
         batches`` — by default the server's full bucket sets and, per
         frame bucket, the budgeted batch plus the adaptive-tail pow2
-        ladder. With the persistent compile cache enabled this warms a
-        fresh process from disk instead of recompiling. Returns the number
-        of distinct program shapes warmed.
+        ladder. ``pairs`` = explicit ``(token_bucket, frame_bucket)``
+        pairs instead of the cross product — at flagship sizes the full
+        product is a large one-time compile bill, and real traffic
+        usually occupies a thin diagonal (token count tracks utterance
+        length); `scripts/bench_serving.py --online` derives the pairs
+        its traffic hits plus the neighbouring frame buckets. With the
+        persistent compile cache enabled this warms a fresh process from
+        disk instead of recompiling. Returns the number of distinct
+        program shapes warmed.
 
         VERDICT r4 weak#2: the mixed-traffic bench measured 165 s (fixed)
         / 594 s (adaptive-tail) of one-time bucket-program compiles that
         previously landed on the first request into each shape.
         """
-        frame_buckets = tuple(frame_buckets or self.frame_buckets)
-        token_buckets = tuple(token_buckets or self.token_buckets)
+        if pairs is None:
+            frame_buckets = tuple(frame_buckets or self.frame_buckets)
+            token_buckets = tuple(token_buckets or self.token_buckets)
+            pairs = [(s_b, t_b) for t_b in frame_buckets
+                     for s_b in token_buckets]
         n0 = len(self.program_shapes)
-        for t_b in frame_buckets:
+        for s_b, t_b in pairs:
             t_b = -(-t_b // self.fm) * self.fm
             for b in (batches or self._warm_batches(t_b)):
-                for s_b in token_buckets:
-                    if verbose:
-                        print(f"| warmup: B={b} T={t_b} S={s_b}", flush=True)
-                    self._warm_shape(int(b), int(s_b), int(t_b))
+                if verbose:
+                    print(f"| warmup: B={b} T={t_b} S={s_b}", flush=True)
+                self._warm_shape(int(b), int(s_b), int(t_b))
         return len(self.program_shapes) - n0
 
     def _warm_shape(self, b: int, s_b: int, t_b: int) -> None:
