@@ -371,6 +371,9 @@ def build_infer_adapter(tiny=False):
             return np.asarray(apply_voc(vparams, jnp.asarray(mels,
                                                              jnp.float32)))
 
+        def spec2wav_batch_dev(self, mels_dev):
+            return apply_voc(vparams, mels_dev)
+
     class _BenchInfer:
         _token_field = "edited_ph_token"
         hp = dict(_flagship_hp(tiny), use_spk_embed=True, hop_size=HOP,
@@ -427,6 +430,12 @@ def run_online_real(args):
     from speech_editing_tpu.infer.serving import BatchedEditServer
 
     infer, *_ = build_infer_adapter(args.tiny)
+    if args.fast_io:
+        # device-side int16 PCM + no mel fetch: the tunnel-bandwidth
+        # levers (serving.py _init_config docs); A/B'd vs default in
+        # BASELINE.md's online serving rows
+        infer.hp = dict(infer.hp, serve_wav_int16=True,
+                        serve_fetch_mel="off")
     buckets = tuple(int(x) for x in args.buckets.split(","))
     server = BatchedEditServer(
         infer, max_batch=args.max_batch, frame_buckets=buckets,
@@ -791,6 +800,9 @@ def main():
     ap.add_argument("--workers", type=int, default=1,
                     help="scheduler threads (2 overlaps fetch with the "
                          "next dispatch — hides the tunnel RTT)")
+    ap.add_argument("--fast-io", dest="fast_io", action="store_true",
+                    help="--online real mode: serve_wav_int16 + "
+                         "serve_fetch_mel=off (tunnel-bandwidth levers)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend at config level (the env "
                          "var is overridden by the axon plugin)")

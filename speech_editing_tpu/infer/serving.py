@@ -94,6 +94,24 @@ def _pad_to(arr: np.ndarray, length: int) -> np.ndarray:
     return np.pad(arr, pad)
 
 
+_WAV_I16_JIT = None
+
+
+def _wav_i16():
+    """Jitted device-side 16-bit PCM conversion, formula-identical to
+    ``utils/audio/io.py:save_wav`` (clip to [-1,1], *32767, truncating
+    int16 cast — XLA's float->int convert truncates toward zero exactly
+    like numpy's astype)."""
+    global _WAV_I16_JIT
+    if _WAV_I16_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        _WAV_I16_JIT = jax.jit(
+            lambda w: (jnp.clip(w, -1.0, 1.0) * 32767.0).astype(jnp.int16))
+    return _WAV_I16_JIT
+
+
 class Request:
     """Mutable per-request record flowing through the serving pipeline.
 
@@ -174,6 +192,20 @@ class _ServerBase:
             merge_token_tails = bool(self.hp.get("serve_merge_token_tails",
                                                  False))
         self.merge_token_tails = bool(merge_token_tails)
+        # serving I/O reduction for network-attached chips. The axon
+        # tunnel moves ~35-50 MB/s with a ~28 ms RTT (measured
+        # 2026-08-21), so f32 result fetches — not device compute —
+        # bound real online throughput (T=1024xB=16 chunk: 241 ms
+        # compute vs ~650 ms of f32 D2H). serve_wav_int16 runs
+        # save_wav's exact PCM conversion (clip*32767 -> trunc int16) ON
+        # DEVICE and fetches 2-byte samples — bit-identical to the wav
+        # file the f32 path would write, 4x fewer bytes.
+        # serve_fetch_mel: "f32" (default, bit-exact results),
+        # "f16" (half the mel fetch bytes), "off" (skip the composite
+        # fetch entirely; result carries mel_out=None — the serve CLI
+        # only writes wavs).
+        self.wav_int16 = bool(self.hp.get("serve_wav_int16", False))
+        self.fetch_mel = str(self.hp.get("serve_fetch_mel", "f32"))
         # program-shape log: every device-program launch records
         # (program name, arg shapes); jit caches by shape, so "no new
         # entries after warmup()" == "no compiles during traffic"
@@ -257,6 +289,25 @@ class _ServerBase:
             self._record("vocoder", comp)
             return self.infer.vocoder.spec2wav_batch(comp)
         return self.infer.vocoder.spec2wav_batch(comp[:n_real])
+
+    def _fetch_wav(self, wav_dev) -> np.ndarray:
+        """Fetch the batched wav buffer once, optionally as device-converted
+        int16 PCM (``serve_wav_int16`` — 4x fewer tunnel bytes, bit-identical
+        to the wav file save_wav would write from the f32 buffer)."""
+        if self.wav_int16:
+            wav_dev = _wav_i16()(wav_dev)
+        return np.asarray(wav_dev)
+
+    def _fetch_comp(self, comp_dev) -> Optional[np.ndarray]:
+        """Fetch the composite mel per ``serve_fetch_mel``: f32 (bit-exact
+        default), f16 (half the bytes), or None for "off"."""
+        if self.fetch_mel == "off":
+            return None
+        if self.fetch_mel == "f16":
+            import jax.numpy as jnp
+
+            return np.asarray(comp_dev.astype(jnp.float16))
+        return np.asarray(comp_dev, np.float32)
 
     def _warm_batches(self, t_b: int) -> List[int]:
         """Batch sizes traffic can produce at a frame bucket: the budgeted
@@ -418,9 +469,13 @@ class BatchedEditServer(_ServerBase):
         spk = np.stack([r.spk for r in rows])
         keys = jnp.stack([r.row_key for r in rows])
         self._record("diff", txt, tm, m2p, spk, ref, f0, uv)
+        # upload tm/ref ONCE and reuse the device arrays for the composite
+        # — jnp.asarray on the same numpy array transfers again each call,
+        # and ref is the chunk's largest input (5.2 MB f32 at T=1024xB=16)
+        tm_d, ref_d = jnp.asarray(tm), jnp.asarray(ref)
         out = self.infer._infer(
-            self.infer.variables, jnp.asarray(txt), jnp.asarray(tm),
-            jnp.asarray(m2p), jnp.asarray(spk), jnp.asarray(ref),
+            self.infer.variables, jnp.asarray(txt), tm_d,
+            jnp.asarray(m2p), jnp.asarray(spk), ref_d,
             jnp.asarray(f0), jnp.asarray(uv), keys)
         if getattr(self.infer.vocoder, "device_batched", False):
             # composite ON DEVICE and chain straight into the vocoder —
@@ -428,14 +483,15 @@ class BatchedEditServer(_ServerBase):
             # host before vocoding (elementwise mul/add are IEEE
             # exact-rounded, so this is bit-identical to the numpy
             # composite; asserted against the per-item driver in
-            # tests/test_serving.py). The comp fetch below overlaps the
-            # vocoder's device execution.
-            tm_d, ref_d = jnp.asarray(tm), jnp.asarray(ref)
+            # tests/test_serving.py). spec2wav_batch_dev keeps the wav on
+            # device so the optional int16 conversion fuses before the
+            # one bulk fetch; the comp fetch overlaps vocoder execution.
             comp_dev = out["mel_out"].astype(jnp.float32) * tm_d \
                 + ref_d * (1 - tm_d)
             self._record("vocoder", comp_dev)
-            wavs = self.infer.vocoder.spec2wav_batch(comp_dev)
-            comp = np.asarray(comp_dev, np.float32)
+            wavs = self._fetch_wav(
+                self.infer.vocoder.spec2wav_batch_dev(comp_dev))
+            comp = self._fetch_comp(comp_dev)
         else:
             mel_out = np.asarray(out["mel_out"], np.float32)
             comp = mel_out * tm + ref * (1 - tm)
@@ -444,7 +500,7 @@ class BatchedEditServer(_ServerBase):
         for i, r in enumerate(reqs):
             t_new = r.splice["t_new"]
             r.result = {
-                "mel_out": comp[i, :t_new],
+                "mel_out": None if comp is None else comp[i, :t_new],
                 "wav_out": np.asarray(wavs[i][:t_new * hop]),
                 "t_frames": t_new,
                 "time_mel_masks": r.splice["time_mel_masks"],
@@ -629,19 +685,27 @@ class BatchedInPlaceEditServer(_ServerBase):
         uv = np.stack([_pad_to(r.item["uv"], t_b) for r in rows])
         spk = np.stack([r.spk for r in rows])
         self._record("fwd", txt, mels, m2p, tm, spk, f0, uv)
-        mel_out = self.infer._model_mel_out_batch(
-            txt, mels, m2p, tm, spk, f0, uv)
-        if getattr(self.infer.vocoder, "device_batched", False):
-            # device composite chained into the device vocoder — see
-            # BatchedEditServer.run_diff_chunk (bit-identical elementwise)
+        use_dev = getattr(self.infer.vocoder, "device_batched", False)
+        if use_dev:
+            # upload mels/tm ONCE (the family's _model_mel_out_batch
+            # jnp.asarray's its args — a no-op on device arrays) and
+            # reuse them for the composite instead of re-transferring
             import jax.numpy as jnp
 
-            tm_d, mels_d = jnp.asarray(tm), jnp.asarray(mels)
-            comp_dev = jnp.asarray(mel_out, jnp.float32) * tm_d \
-                + mels_d * (1 - tm_d)
+            tm_in, mels_in = jnp.asarray(tm), jnp.asarray(mels)
+        else:
+            tm_in, mels_in = tm, mels
+        mel_out = self.infer._model_mel_out_batch(
+            txt, mels_in, m2p, tm_in, spk, f0, uv)
+        if use_dev:
+            # device composite chained into the device vocoder — see
+            # BatchedEditServer.run_diff_chunk (bit-identical elementwise)
+            comp_dev = jnp.asarray(mel_out, jnp.float32) * tm_in \
+                + mels_in * (1 - tm_in)
             self._record("vocoder", comp_dev)
-            wavs = self.infer.vocoder.spec2wav_batch(comp_dev)
-            comp = np.asarray(comp_dev, np.float32)
+            wavs = self._fetch_wav(
+                self.infer.vocoder.spec2wav_batch_dev(comp_dev))
+            comp = self._fetch_comp(comp_dev)
         else:
             comp = np.asarray(mel_out, np.float32) * tm + mels * (1 - tm)
             wavs = self._vocode(comp, len(reqs))
@@ -649,7 +713,7 @@ class BatchedInPlaceEditServer(_ServerBase):
         for i, r in enumerate(reqs):
             t_i = len(r.item["mel"])
             r.result = {
-                "mel_out": comp[i, :t_i],
+                "mel_out": None if comp is None else comp[i, :t_i],
                 "wav_out": np.asarray(wavs[i][:t_i * hop]),
                 "t_frames": t_i,
                 "time_mel_masks": r.tm,

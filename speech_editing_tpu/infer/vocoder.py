@@ -114,8 +114,12 @@ class HifiGAN(BaseVocoder):
                 return np.asarray(
                     apply_jit(params, jnp.asarray(mels, jnp.float32)))
 
+            def run_batch_dev(mels_dev):  # device in -> device out, no fetch
+                return apply_jit(params, mels_dev)
+
             self._apply = run
             self._apply_batch = run_batch
+            self._apply_batch_dev = run_batch_dev
             self.device_batched = True
         else:
             self._fallback = GriffinLim(hp)
@@ -129,3 +133,14 @@ class HifiGAN(BaseVocoder):
         if self._apply is not None:
             return self._apply_batch(np.asarray(mels, np.float32))
         return self._fallback.spec2wav_batch(mels, **kw)
+
+    def spec2wav_batch_dev(self, mels_dev):
+        """Device->device batched vocode: the jit output WITHOUT a host
+        fetch, so servers can chain device-side post-processing (int16 PCM
+        conversion) and fetch the wav buffer once. On a network-attached
+        chip ``np.asarray`` round trips through the tunnel — the plain
+        ``spec2wav_batch(device_array)`` path was measured moving an extra
+        ~10 MB per T=1024xB=16 chunk (fetch f32 composite + re-upload).
+        Only valid when ``device_batched``."""
+        assert self._apply is not None
+        return self._apply_batch_dev(mels_dev)

@@ -32,7 +32,13 @@ def load_wav(path: str, sample_rate: int | None = None) -> tuple[np.ndarray, int
 
 
 def save_wav(wav: np.ndarray, path: str, sr: int, norm: bool = False):
-    """Save float wav to 16-bit PCM (reference ``io.py:7``)."""
+    """Save float wav to 16-bit PCM (reference ``io.py:7``). int16 input
+    (a server running ``serve_wav_int16`` already did the PCM conversion
+    on device) is written through unchanged."""
+    wav = np.asarray(wav)
+    if wav.dtype == np.int16 and not norm:
+        wavfile.write(path, sr, wav)
+        return
     wav = np.asarray(wav, np.float32)
     if norm:
         wav = wav / max(1e-8, np.abs(wav).max()) * 0.95

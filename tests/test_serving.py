@@ -535,3 +535,66 @@ def test_serving_mixed_lengths_bucketing(serve_env):
     for r in res:
         assert np.isfinite(r["mel_out"]).all()
         assert len(r["wav_out"]) == r["t_frames"] * serve_env["hop_size"]
+
+
+def test_fast_io_device_path(serve_env):
+    """serve_wav_int16 / serve_fetch_mel (the tunnel-bandwidth levers,
+    serving.py _init_config docs) on the device-batched composite path:
+
+    * int16 wav is BIT-IDENTICAL to save_wav's host PCM conversion of the
+      default f32 path's wav (clip*32767 -> truncating cast — XLA and
+      numpy both truncate toward zero), including clipped samples;
+    * serve_fetch_mel="off" skips the composite fetch (mel_out None) with
+      the wav unchanged; "f16" stays within half-precision cast distance;
+    * the flags change NOTHING else: default-path mel equals the
+      GriffinLim-path composite already pinned by the exact-fit tests.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from speech_editing_tpu.infer.serving import BatchedEditServer
+    from speech_editing_tpu.infer.spec_denoiser import SpecDenoiserInfer
+
+    hop = int(serve_env["hop_size"])
+
+    class DevVoc:
+        """Tiny jitted stand-in for the device HiFi-GAN: [B,T,80] ->
+        [B,T*hop], amplitudes pushed past +-1 so the int16 clip branch is
+        exercised."""
+
+        device_batched = True
+
+        def __init__(self):
+            self._g = jax.jit(lambda m: jnp.repeat(
+                jnp.tanh(m).mean(-1) * 1.7, hop, axis=-1))
+
+        def spec2wav_batch(self, mels):
+            return np.asarray(self._g(jnp.asarray(mels, jnp.float32)))
+
+        def spec2wav_batch_dev(self, mels_dev):
+            return self._g(mels_dev)
+
+    infer_ins = SpecDenoiserInfer(serve_env)
+    infer_ins.vocoder = DevVoc()
+
+    def run(**flags):
+        infer_ins.hp = dict(serve_env, **flags)
+        server = BatchedEditServer(infer_ins, max_batch=2,
+                                   frame_buckets=(64, 128),
+                                   token_buckets=(64,))
+        return server.edit_many(
+            [_make_request(**REQ_A), _make_request(**REQ_B)], seed=7)
+
+    res_def = run()
+    res_fast = run(serve_wav_int16=True, serve_fetch_mel="off")
+    res_h = run(serve_fetch_mel="f16")
+
+    for d, q, h in zip(res_def, res_fast, res_h):
+        assert d["wav_out"].dtype == np.float32
+        assert np.abs(d["wav_out"]).max() > 1.0  # clip branch is live
+        assert q["mel_out"] is None
+        assert q["wav_out"].dtype == np.int16
+        ref_i16 = (np.clip(d["wav_out"], -1.0, 1.0) * 32767).astype(np.int16)
+        np.testing.assert_array_equal(q["wav_out"], ref_i16)
+        assert h["mel_out"].dtype == np.float16
+        np.testing.assert_allclose(h["mel_out"], d["mel_out"], atol=2e-3)
