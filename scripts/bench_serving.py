@@ -399,17 +399,18 @@ def build_infer_adapter(tiny=False):
     return _BenchInfer(), model, voc, variables, vparams
 
 
-def _draw_traffic(args):
+def _draw_traffic(args, rate=None):
     """(lognormal frame lengths, Poisson arrival times). Lengths clip to
     the largest configured bucket so rare >17 s draws don't force one-off
     overflow-bucket compiles mid-traffic."""
+    rate = args.rate if rate is None else rate
     rs = np.random.RandomState(args.seed)
     n = (args.n_requests if not args.duration
-         else max(8, int(args.rate * args.duration)))
+         else max(8, int(rate * args.duration)))
     dur = np.exp(rs.normal(np.log(5.5), 0.45, n))
     t_max = max(int(x) for x in args.buckets.split(","))
     frames = np.clip((dur * SR / HOP).astype(int), 90, t_max)
-    t_arr = np.cumsum(rs.exponential(1.0 / args.rate, n))
+    t_arr = np.cumsum(rs.exponential(1.0 / rate, n))
     return frames, t_arr
 
 
@@ -444,70 +445,81 @@ def run_online_real(args):
         adaptive_tail=args.adaptive_tail,
         merge_token_tails=args.merge_token_tails)
 
-    frames, t_arr = _draw_traffic(args)
-    rs = np.random.RandomState(1)
-    reqs = [{"item": synth_online_item(rs, f, f"r{i}")}
-            for i, f in enumerate(frames)]
+    # --multi-rate: sweep the offered loads in args.rates inside ONE
+    # warmed process (warmup at flagship sizes is ~6 min of trace +
+    # cache-deserialize per process — paying it once per rate would
+    # triple the bench wall time for no measurement benefit)
+    rates = ([float(x) for x in args.rates.split(",")]
+             if args.multi_rate else [args.rate])
+    traffic = {}
+    for rate in rates:
+        frames, t_arr = _draw_traffic(args, rate)
+        rs = np.random.RandomState(1)
+        traffic[rate] = ([{"item": synth_online_item(rs, f, f"r{i}")}
+                          for i, f in enumerate(frames)], t_arr)
 
     # warm exactly the (token, frame) pairs this traffic hits, plus the
     # neighbouring frame buckets (stage-2 lands at fb(t_new), which can
     # cross a boundary either way when the edit changes the length)
     pairs = set()
-    for r in reqs:
-        it = r["item"]
-        s_b = server._tb(len(it["edited_ph_token"]))
-        t_b = server._fb(len(it["mel2ph"]))
-        pairs.add((s_b, t_b))
-        nxt = [b for b in server.frame_buckets if b > t_b]
-        prv = [b for b in server.frame_buckets if b < t_b]
-        if nxt:
-            pairs.add((s_b, nxt[0]))
-        if prv:
-            pairs.add((s_b, prv[-1]))
+    for reqs, _ in traffic.values():
+        for r in reqs:
+            it = r["item"]
+            s_b = server._tb(len(it["edited_ph_token"]))
+            t_b = server._fb(len(it["mel2ph"]))
+            pairs.add((s_b, t_b))
+            nxt = [b for b in server.frame_buckets if b > t_b]
+            prv = [b for b in server.frame_buckets if b < t_b]
+            if nxt:
+                pairs.add((s_b, nxt[0]))
+            if prv:
+                pairs.add((s_b, prv[-1]))
     t0 = _time.perf_counter()
     print(f"| warmup pairs: {sorted(pairs)}", file=sys.stderr, flush=True)
     server.warmup(pairs=sorted(pairs), verbose=True)
     warmup_s = _time.perf_counter() - t0
     shapes_warm = set(server.program_shapes)
 
-    srv = OnlineEditServer(server, max_wait_ms=args.max_wait_ms,
-                           workers=args.workers)
-    t_start = _time.monotonic()
-    futures = []
-    for i, req in enumerate(reqs):
-        lag = t_start + t_arr[i] - _time.monotonic()
-        if lag > 0:
-            _time.sleep(lag)
-        futures.append(srv.submit(req))
-    results = [f.result(timeout=1800) for f in futures]
-    t_done = _time.monotonic()
-    srv.close()
+    for rate in rates:
+        reqs, t_arr = traffic[rate]
+        srv = OnlineEditServer(server, max_wait_ms=args.max_wait_ms,
+                               workers=args.workers)
+        t_start = _time.monotonic()
+        futures = []
+        for i, req in enumerate(reqs):
+            lag = t_start + t_arr[i] - _time.monotonic()
+            if lag > 0:
+                _time.sleep(lag)
+            futures.append(srv.submit(req))
+        results = [f.result(timeout=1800) for f in futures]
+        t_done = _time.monotonic()
+        srv.close()
 
-    lat = [f.latency_s for f in futures]
-    new_shapes = server.program_shapes - shapes_warm
-    n_real = sum(l[3] for l in srv.launches)
-    fill = n_real / max(sum(l[4] for l in srv.launches), 1)
-    n_merged = sum(l[5] for l in srv.launches)
-    audio_s = float(sum(r["t_frames"] for r in results) * HOP / SR)
-    wall = t_done - t_start
-    print(json.dumps({
-        "metric": "serving_online_edits_per_sec_per_chip",
-        "value": round(len(results) / wall, 2),
-        "unit": (f"edits/s REAL Poisson load rate={args.rate}/s "
-                 f"({len(results)} reqs, max_wait={args.max_wait_ms}ms, "
-                 f"queue-inclusive wall latency incl. tunnel RTT)"),
-        "offered_rate": args.rate,
-        "latency_ms": _latency_summary(lat),
-        "audio_sec_per_sec": round(audio_s / wall, 1),
-        "chunk_fill": round(fill, 3),
-        "n_chunks": len(srv.launches),
-        "n_merged_requests": n_merged,
-        "warmup_s": round(warmup_s, 1),
-        "compiles_after_warmup": len(new_shapes),
-        "adaptive_tail": bool(args.adaptive_tail),
-        "merge_token_tails": bool(args.merge_token_tails),
-        "workers": args.workers,
-    }))
+        lat = [f.latency_s for f in futures]
+        new_shapes = server.program_shapes - shapes_warm
+        n_real = sum(l[3] for l in srv.launches)
+        fill = n_real / max(sum(l[4] for l in srv.launches), 1)
+        n_merged = sum(l[5] for l in srv.launches)
+        audio_s = float(sum(r["t_frames"] for r in results) * HOP / SR)
+        wall = t_done - t_start
+        print(json.dumps({
+            "metric": "serving_online_edits_per_sec_per_chip",
+            "value": round(len(results) / wall, 2),
+            "unit": (f"edits/s REAL Poisson load rate={rate}/s "
+                     f"({len(results)} reqs, max_wait={args.max_wait_ms}ms, "
+                     f"queue-inclusive wall latency incl. tunnel RTT)"),
+            "offered_rate": rate,
+            "latency_ms": _latency_summary(lat),
+            "audio_sec_per_sec": round(audio_s / wall, 1),
+            "chunk_fill": round(fill, 3),
+            "n_chunks": len(srv.launches),
+            "n_merged_requests": n_merged,
+            "warmup_s": round(warmup_s, 1),
+            "compiles_after_warmup": len(new_shapes),
+            "adaptive_tail": bool(args.adaptive_tail),
+            "merge_token_tails": bool(args.merge_token_tails),
+            "workers": args.workers, "fast_io": bool(args.fast_io),
+        }), flush=True)
 
 
 def make_model_k(model):
@@ -803,6 +815,9 @@ def main():
     ap.add_argument("--fast-io", dest="fast_io", action="store_true",
                     help="--online real mode: serve_wav_int16 + "
                          "serve_fetch_mel=off (tunnel-bandwidth levers)")
+    ap.add_argument("--multi-rate", dest="multi_rate", action="store_true",
+                    help="--online real mode: sweep --rates offered loads "
+                         "in one warmed process (one JSON line per rate)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend at config level (the env "
                          "var is overridden by the axon plugin)")

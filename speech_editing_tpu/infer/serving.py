@@ -173,8 +173,11 @@ class _ServerBase:
         # device time went to padding rows). Opt-in because it relaxes the
         # determinism contract: a request in an adaptive tail runs under a
         # batch size that depends on how many requests co-submitted, and a
-        # recompiled batch shape can reassociate within-row reductions
-        # (~1e-6 float drift vs the fixed-batch program; never cross-row
+        # recompiled batch shape MAY reassociate within-row reductions
+        # (compiler-version-dependent; measured 2026-08-21 the drift is
+        # exactly 0 — bit-identical — at both flagship sizes on the v5e,
+        # scripts/adaptive_drift_ab.py, and the tiny CPU test model;
+        # never cross-row
         # leakage). Default off = bit-exact batch-composition invariance.
         if adaptive_tail is None:
             adaptive_tail = bool(self.hp.get("serve_adaptive_tail", False))

@@ -101,7 +101,13 @@ def test_adaptive_tail_serving_results(serve_env):
     res_a = adapt.edit_many([dict(r) for r in reqs], seed=7)
     for f, a in zip(res_f, res_a):
         assert a["t_frames"] == f["t_frames"]
-        np.testing.assert_allclose(a["mel_out"], f["mel_out"], atol=2e-5)
+        # tolerance set FROM MEASUREMENT (was a conservative 2e-5): the
+        # recompile-reassociation drift is exactly 0 both here (CPU tiny
+        # model) and at flagship sizes on the v5e
+        # (scripts/adaptive_drift_ab.py, BASELINE.md). If an XLA upgrade
+        # starts reassociating, this is the canary — relax to the newly
+        # measured bound, not an assumed one.
+        np.testing.assert_array_equal(a["mel_out"], f["mel_out"])
 
 
 @pytest.fixture(scope="module")
