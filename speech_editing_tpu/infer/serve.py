@@ -74,6 +74,15 @@ def main(argv=None):
                     help="precompile all bucket programs before traffic")
     ap.add_argument("--hparams", default="",
                     help="extra dotted overrides, as run.py")
+    ap.add_argument("--workers", type=int, default=2,
+                    help="scheduler threads (2 overlaps the result fetch "
+                         "with the next chunk dispatch)")
+    ap.add_argument("--fast-io", dest="fast_io", action="store_true",
+                    help="serve_wav_int16 + serve_fetch_mel=off: device "
+                         "int16 PCM (bit-identical wav files, 4x fewer "
+                         "fetch bytes) and no mel fetch — measured 2.7x "
+                         "serving throughput on a network-attached chip "
+                         "(BASELINE.md online serving)")
     args = ap.parse_args(argv)
 
     from speech_editing_tpu.config.hparams import set_hparams
@@ -83,6 +92,8 @@ def main(argv=None):
     hp = set_hparams(argv=["--config", args.config, "--exp_name",
                            args.exp_name, "--infer"]
                      + (["--hparams", args.hparams] if args.hparams else []))
+    if args.fast_io:
+        hp = dict(hp, serve_wav_int16=True, serve_fetch_mel="off")
 
     task_cls = str(hp.get("task_cls", "")).lower()
     if any(k in task_cls for k in ("campnet", "a3t", "editspeech")):
@@ -94,7 +105,8 @@ def main(argv=None):
     server = infer_ins.make_server(infer_ins, max_batch=args.max_batch)
 
     os.makedirs(args.out_dir, exist_ok=True)
-    srv = OnlineEditServer(server, max_wait_ms=args.max_wait_ms)
+    srv = OnlineEditServer(server, max_wait_ms=args.max_wait_ms,
+                           workers=args.workers)
     if args.warmup:
         t0 = time.perf_counter()
         n = srv.warmup(verbose=True)
