@@ -36,7 +36,9 @@ def test_dp_serving_matches_single_device(jax):
         "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 3]]})
 
     rs = np.random.RandomState(0)
-    b, t, s = 8, 32, 8
+    # synth_batch shrinks row b's frame count by 8*b — T must stay >= S+1
+    # frames at the LAST row (T=96: row 7 keeps 40 frames for 1 token)
+    b, t, s = 8, 96, 8
     batch = synth_batch(rs, B=b, S=s, T=t)
     tm = batch["time_mel_masks"][..., None].astype(np.float32)
     variables = jax.jit(model.init)(
