@@ -476,7 +476,8 @@ def run_online_real(args):
                 pairs.add((s_b, prv[-1]))
     t0 = _time.perf_counter()
     print(f"| warmup pairs: {sorted(pairs)}", file=sys.stderr, flush=True)
-    server.warmup(pairs=sorted(pairs), verbose=True)
+    server.warmup(pairs=sorted(pairs), verbose=True,
+                  workers=args.warmup_workers)
     warmup_s = _time.perf_counter() - t0
     shapes_warm = set(server.program_shapes)
 
@@ -818,6 +819,9 @@ def main():
     ap.add_argument("--multi-rate", dest="multi_rate", action="store_true",
                     help="--online real mode: sweep --rates offered loads "
                          "in one warmed process (one JSON line per rate)")
+    ap.add_argument("--warmup-workers", dest="warmup_workers", type=int,
+                    default=1, help="concurrent warmup shapes (overlaps "
+                                    "host tracing with remote compiles)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend at config level (the env "
                          "var is overridden by the axon plugin)")

@@ -72,6 +72,9 @@ def main(argv=None):
     ap.add_argument("--max-batch", dest="max_batch", type=int, default=16)
     ap.add_argument("--warmup", action="store_true",
                     help="precompile all bucket programs before traffic")
+    ap.add_argument("--warmup-workers", dest="warmup_workers", type=int,
+                    default=4, help="concurrent warmup shapes (overlaps "
+                                    "host tracing with remote compiles)")
     ap.add_argument("--hparams", default="",
                     help="extra dotted overrides, as run.py")
     ap.add_argument("--workers", type=int, default=2,
@@ -109,7 +112,7 @@ def main(argv=None):
                            workers=args.workers)
     if args.warmup:
         t0 = time.perf_counter()
-        n = srv.warmup(verbose=True)
+        n = srv.warmup(verbose=True, workers=args.warmup_workers)
         print(f"| warmup: {n} program shapes in "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
 

@@ -329,7 +329,7 @@ class _ServerBase:
                token_buckets: Optional[Sequence[int]] = None,
                batches: Optional[Sequence[int]] = None,
                pairs: Optional[Sequence[Tuple[int, int]]] = None,
-               verbose: bool = False) -> int:
+               verbose: bool = False, workers: int = 1) -> int:
         """Compile every (program, batch, bucket) shape ahead of traffic.
 
         Runs each device stage (and the batched vocoder) on synthetic
@@ -356,12 +356,32 @@ class _ServerBase:
             pairs = [(s_b, t_b) for t_b in frame_buckets
                      for s_b in token_buckets]
         n0 = len(self.program_shapes)
+        shapes = []
         for s_b, t_b in pairs:
             t_b = -(-t_b // self.fm) * self.fm
             for b in (batches or self._warm_batches(t_b)):
+                shapes.append((int(b), int(s_b), int(t_b)))
+        if workers > 1:
+            # overlap warmup shapes: tracing is host-CPU-bound and the
+            # compile itself runs in the backend's compile service, so
+            # concurrent _warm_shape calls pipeline trace(N+1) under
+            # compile(N). JAX jit dispatch is thread-safe; program_shapes
+            # .add is GIL-atomic. Measured on the v5e (BASELINE.md round
+            # 5): the flagship 13-pair warm-from-disk warmup drops from
+            # ~6 min sequential with workers=4.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                for (b, s_b, t_b), f in [(sh, ex.submit(
+                        self._warm_shape, *sh)) for sh in shapes]:
+                    f.result()
+                    if verbose:
+                        print(f"| warmup: B={b} T={t_b} S={s_b}", flush=True)
+        else:
+            for b, s_b, t_b in shapes:
                 if verbose:
                     print(f"| warmup: B={b} T={t_b} S={s_b}", flush=True)
-                self._warm_shape(int(b), int(s_b), int(t_b))
+                self._warm_shape(b, s_b, t_b)
         return len(self.program_shapes) - n0
 
     def _warm_shape(self, b: int, s_b: int, t_b: int) -> None:

@@ -604,3 +604,24 @@ def test_fast_io_device_path(serve_env):
         np.testing.assert_array_equal(q["wav_out"], ref_i16)
         assert h["mel_out"].dtype == np.float16
         np.testing.assert_allclose(h["mel_out"], d["mel_out"], atol=2e-3)
+
+
+def test_warmup_workers_parity(serve_env):
+    """warmup(workers=4) warms exactly the same program-shape set as the
+    sequential path (concurrent tracing/dispatch is safe; program_shapes
+    set updates are GIL-atomic), so the zero-compile-after-warmup
+    contract is unchanged."""
+    from speech_editing_tpu.infer.serving import BatchedEditServer
+    from speech_editing_tpu.infer.spec_denoiser import SpecDenoiserInfer
+
+    infer_ins = SpecDenoiserInfer(serve_env)
+    infer_ins.hp = dict(serve_env)
+    pairs = [(64, 64), (64, 128)]
+    seq = BatchedEditServer(infer_ins, max_batch=2,
+                            frame_buckets=(64, 128), token_buckets=(64,))
+    n_seq = seq.warmup(pairs=pairs)
+    par = BatchedEditServer(infer_ins, max_batch=2,
+                            frame_buckets=(64, 128), token_buckets=(64,))
+    n_par = par.warmup(pairs=pairs, workers=4)
+    assert n_par == n_seq
+    assert par.program_shapes == seq.program_shapes
